@@ -1,0 +1,145 @@
+"""Attention ops: XLA reference implementation + Pallas TPU flash attention.
+
+The ViT hot loop is full (non-causal) self-attention over 2,304–8,464 patch
+tokens (reference SURVEY §2.2-A); the reference runs cuda/xformers attention
+inside hub-loaded DINOv2. Here:
+
+  * :func:`mha_reference` — plain jnp attention (CPU tests, tiny shapes,
+    autodiff-anywhere fallback) with fp32 softmax.
+  * :func:`flash_attention` — Pallas blockwise flash attention (online
+    softmax, fp32 accumulators, bf16 MXU matmuls), tiled for VMEM.
+  * :func:`multi_head_attention` — dispatcher: Pallas on TPU for big
+    sequences, XLA elsewhere.
+
+Layout convention: ``[B, H, N, Dh]`` (batch, heads, sequence, head dim).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def mha_reference(
+    q: jax.Array, k: jax.Array, v: jax.Array, scale: float | None = None
+) -> jax.Array:
+    """Plain attention with fp32 softmax. ``[B, H, N, Dh]`` in/out."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
+    return jnp.einsum("bhnm,bhmd->bhnd", probs, v)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale, kv_steps):
+    """One (batch*head, q-block) program; grid dim 1 walks the kv blocks.
+
+    Online-softmax accumulation in fp32 scratch; the final kv step writes the
+    normalized output. Shapes per block: q [1, Bq, D], k/v [1, Bk, D].
+    """
+    kv_i = pl.program_id(2)
+
+    @pl.when(kv_i == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]  # [Bq, D]
+    k = k_ref[0]  # [Bk, D]
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [Bq, Bk] fp32
+    s = s * scale
+
+    m_prev = m_ref[:, 0]  # [Bq]
+    m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1))
+    correction = jnp.exp(m_prev - m_cur)  # [Bq]
+    p = jnp.exp(s - m_cur[:, None])  # [Bq, Bk] fp32
+    l_ref[:, 0] = l_ref[:, 0] * correction + jnp.sum(p, axis=-1)
+    m_ref[:, 0] = m_cur
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [Bq, D]
+    acc_ref[:] = acc_ref[:] * correction[:, None] + pv
+
+    @pl.when(kv_i == kv_steps - 1)
+    def _finalize():
+        o_ref[0] = (acc_ref[:] / l_ref[:, 0][:, None]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_kv", "scale"))
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: float | None = None,
+    block_q: int = 512,
+    block_kv: int = 512,
+) -> jax.Array:
+    """Pallas TPU flash attention, ``[B, H, N, Dh]`` → ``[B, H, N, Dh]``.
+
+    N must be divisible by the block sizes (callers pad; ViT grids 2304/4096/
+    8464 divide 256/512 after padding 8464→8704 if needed). Head dim should
+    be 64 (DINOv2 S/B/L) — any multiple of 128 lane packing works.
+    """
+    B, H, N, D = q.shape
+    if scale is None:
+        scale = D ** -0.5
+    bq = min(block_q, N)
+    bkv = min(block_kv, N)
+    assert N % bq == 0 and N % bkv == 0, (N, bq, bkv)
+    kv_steps = N // bkv
+
+    qf = q.reshape(B * H, N, D)
+    kf = k.reshape(B * H, N, D)
+    vf = v.reshape(B * H, N, D)
+
+    grid = (B * H, N // bq, kv_steps)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, kv_steps=kv_steps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bkv, D), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bkv, D), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B * H, N, D), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, D), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(qf, kf, vf)
+    return out.reshape(B, H, N, D)
+
+
+def _on_tpu() -> bool:
+    try:
+        platform = jax.devices()[0].platform
+    except RuntimeError:  # pragma: no cover
+        return False
+    return platform in ("tpu", "axon")
+
+
+def multi_head_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array, scale: float | None = None,
+    use_flash: bool | None = None,
+) -> jax.Array:
+    """Dispatch to the Pallas kernel on TPU for long sequences, XLA otherwise."""
+    N = q.shape[-2]
+    if use_flash is None:
+        use_flash = _on_tpu() and N >= 1024 and N % 256 == 0
+    if use_flash:
+        return flash_attention(q, k, v, scale=scale)
+    return mha_reference(q, k, v, scale=scale)

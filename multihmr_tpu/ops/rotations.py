@@ -82,24 +82,18 @@ def rotmat_to_unitquat(R: jax.Array) -> jax.Array:
     m20, m21, m22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
     tr = m00 + m11 + m22
 
-    # Four candidates, each valid when its pivot is the largest.
-    def _safe_sqrt(v):
-        return jnp.sqrt(jnp.maximum(v, 1e-24))
-
-    qw = jnp.stack(
-        [_safe_sqrt(1.0 + tr), m21 - m12, m02 - m20, m10 - m01], axis=-1
-    )
+    # Four candidates, each valid when its pivot is the largest. Each row is
+    # proportional to [w, x, y, z]: e.g. [1+tr, m21-m12, m02-m20, m10-m01]
+    # = [4w^2, 4wx, 4wy, 4wz] ∝ q; normalization recovers the unit quat.
+    qw = jnp.stack([1.0 + tr, m21 - m12, m02 - m20, m10 - m01], axis=-1)
     qx = jnp.stack(
-        [m21 - m12, _safe_sqrt(1.0 + m00 - m11 - m22), m01 + m10, m02 + m20],
-        axis=-1,
+        [m21 - m12, 1.0 + m00 - m11 - m22, m01 + m10, m02 + m20], axis=-1
     )
     qy = jnp.stack(
-        [m02 - m20, m01 + m10, _safe_sqrt(1.0 - m00 + m11 - m22), m12 + m21],
-        axis=-1,
+        [m02 - m20, m01 + m10, 1.0 - m00 + m11 - m22, m12 + m21], axis=-1
     )
     qz = jnp.stack(
-        [m10 - m01, m02 + m20, m12 + m21, _safe_sqrt(1.0 - m00 - m11 + m22)],
-        axis=-1,
+        [m10 - m01, m02 + m20, m12 + m21, 1.0 - m00 - m11 + m22], axis=-1
     )
     # candidate i layout: [w, x, y, z] scaled by 2*pivot_i
     cand_w = jnp.stack([qw[..., 0], qx[..., 0], qy[..., 0], qz[..., 0]], axis=-1)
@@ -164,19 +158,22 @@ def rigid_points_registration(
     Returns:
       (R ``(...,3,3)``, s ``(...)``, t ``(...,3)``) if compute_scaling else (R, t).
     """
+    hi = jax.lax.Precision.HIGHEST
     mu_x = jnp.mean(x, axis=-2, keepdims=True)
     mu_y = jnp.mean(y, axis=-2, keepdims=True)
     xc, yc = x - mu_x, y - mu_y
-    cov = jnp.einsum("...ni,...nj->...ij", yc, xc)  # (3,3)
+    cov = jnp.einsum("...ni,...nj->...ij", yc, xc, precision=hi)  # (3,3)
     U, S, Vt = jnp.linalg.svd(cov)
-    det = jnp.linalg.det(U @ Vt)
+    det = jnp.linalg.det(jnp.matmul(U, Vt, precision=hi))
     D = jnp.broadcast_to(jnp.eye(3, dtype=x.dtype), cov.shape).copy()
     D = D.at[..., 2, 2].set(jnp.sign(det))
-    R = U @ D @ Vt
+    R = jnp.matmul(jnp.matmul(U, D, precision=hi), Vt, precision=hi)
     if compute_scaling:
         var_x = jnp.sum(xc * xc, axis=(-1, -2))
         s = jnp.sum(S * jnp.stack([jnp.ones_like(det), jnp.ones_like(det), jnp.sign(det)], -1), -1) / jnp.maximum(var_x, 1e-24)
-        t = mu_y[..., 0, :] - s[..., None] * jnp.einsum("...ij,...j->...i", R, mu_x[..., 0, :])
+        t = mu_y[..., 0, :] - s[..., None] * jnp.einsum(
+            "...ij,...j->...i", R, mu_x[..., 0, :], precision=hi
+        )
         return R, s, t
-    t = mu_y[..., 0, :] - jnp.einsum("...ij,...j->...i", R, mu_x[..., 0, :])
+    t = mu_y[..., 0, :] - jnp.einsum("...ij,...j->...i", R, mu_x[..., 0, :], precision=hi)
     return R, t

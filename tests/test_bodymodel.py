@@ -1,0 +1,143 @@
+"""Body-model core vs. an independent torch LBS implementation.
+
+The torch code below implements the SMPL-family equations (shape blendshapes,
+pose correctives, forward kinematics, linear blend skinning) directly from
+the published formulation — an independent cross-check of the JAX einsum/scan
+implementation on a synthetic model with the same structure as SMPL-X.
+"""
+
+import numpy as np
+import torch
+import jax.numpy as jnp
+
+from multihmr_tpu.bodymodel import synthetic_body_model, lbs_forward
+from multihmr_tpu.models.smplx_layer import SMPLXCameraLayer
+from multihmr_tpu.ops import rotvec_to_rotmat, inverse_perspective_projection
+
+
+def torch_lbs(model, rotmats, betas, expression):
+    v_template = torch.from_numpy(np.asarray(model.v_template))
+    shapedirs = torch.from_numpy(np.asarray(model.shapedirs))
+    exprdirs = torch.from_numpy(np.asarray(model.exprdirs))
+    posedirs = torch.from_numpy(np.asarray(model.posedirs))
+    J_reg = torch.from_numpy(np.asarray(model.J_regressor))
+    weights = torch.from_numpy(np.asarray(model.lbs_weights))
+    parents = np.asarray(model.parents)
+
+    B = rotmats.shape[0]
+    J = J_reg.shape[0]
+    v_shaped = v_template + torch.einsum("bl,vcl->bvc", betas, shapedirs)
+    v_shaped = v_shaped + torch.einsum("bl,vcl->bvc", expression, exprdirs)
+    joints = torch.einsum("jv,bvc->bjc", J_reg, v_shaped)
+    pose_feature = (rotmats[:, 1:] - torch.eye(3)).reshape(B, -1)
+    v_posed = v_shaped + torch.einsum("bp,pv->bv", pose_feature, posedirs).reshape(
+        B, -1, 3
+    )
+    # FK, explicit python loop over the tree
+    G = [None] * J
+    for j in range(J):
+        t = joints[:, j] - (joints[:, parents[j]] if parents[j] >= 0 else 0)
+        local = torch.eye(4).repeat(B, 1, 1)
+        local[:, :3, :3] = rotmats[:, j]
+        local[:, :3, 3] = t
+        G[j] = local if parents[j] < 0 else G[parents[j]] @ local
+    G = torch.stack(G, 1)  # [B, J, 4, 4]
+    posed_joints = G[:, :, :3, 3]
+    # A = G @ inv(rest translation)
+    rest = torch.eye(4).repeat(B, J, 1, 1)
+    rest[:, :, :3, 3] = joints
+    A = G @ torch.inverse(rest)
+    T = torch.einsum("vj,bjmn->bvmn", weights, A)
+    hom = torch.cat([v_posed, torch.ones(B, v_posed.shape[1], 1)], -1)
+    verts = torch.einsum("bvmn,bvn->bvm", T, hom)[..., :3]
+    return verts, posed_joints
+
+
+def test_lbs_matches_independent_torch(rng):
+    model = synthetic_body_model()
+    B, J = 3, model.num_joints
+    rv = rng.normal(scale=0.5, size=(B, J, 3)).astype(np.float32)
+    rotmats = np.asarray(rotvec_to_rotmat(jnp.asarray(rv)))
+    betas = rng.normal(size=(B, 10)).astype(np.float32)
+    expr = rng.normal(size=(B, 10)).astype(np.float32)
+
+    out = lbs_forward(model, jnp.asarray(rotmats), jnp.asarray(betas), jnp.asarray(expr))
+    ref_v, ref_j = torch_lbs(
+        model, torch.from_numpy(rotmats), torch.from_numpy(betas), torch.from_numpy(expr)
+    )
+    np.testing.assert_allclose(np.asarray(out["vertices"]), ref_v.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out["joints_fk"]), ref_j.numpy(), atol=2e-5)
+    # output joint set = FK ++ extra vertices ++ landmarks
+    assert out["joints"].shape == (B, model.num_output_joints, 3)
+    np.testing.assert_allclose(
+        np.asarray(out["joints"])[:, J : J + 4],
+        np.asarray(out["vertices"])[:, np.asarray(model.extra_joint_vertex_ids)],
+        atol=1e-6,
+    )
+
+
+def test_rest_pose_is_template():
+    model = synthetic_body_model()
+    B, J = 1, model.num_joints
+    eye = jnp.broadcast_to(jnp.eye(3), (B, J, 3, 3))
+    out = lbs_forward(model, eye, jnp.zeros((B, 10)), jnp.zeros((B, 10)))
+    np.testing.assert_allclose(
+        np.asarray(out["vertices"][0]), np.asarray(model.v_template), atol=1e-5
+    )
+
+
+def test_camera_layer_geometry(rng):
+    """Person-center joint must land exactly at the un-projected loc*dist, and
+    its 2D projection back at loc (reference blocks/smpl_layer.py:125-144)."""
+    model = synthetic_body_model()
+    J = model.num_joints
+    names = [f"j{i}" for i in range(model.num_output_joints)]
+    layer = SMPLXCameraLayer(model, person_center="j5", joint_names=names)
+
+    B = 2
+    pose = rng.normal(scale=0.3, size=(B, J, 3)).astype(np.float32)
+    shape = rng.normal(size=(B, 10)).astype(np.float32)
+    loc = np.array([[300.0, 200.0], [100.0, 500.0]], np.float32)
+    dist = np.array([[3.0], [7.5]], np.float32)
+    K = np.zeros((B, 3, 3), np.float32)
+    K[:, 0, 0] = K[:, 1, 1] = 600.0
+    K[:, 0, 2] = K[:, 1, 2] = 336.0
+    K[:, 2, 2] = 1.0
+
+    out = layer(
+        jnp.asarray(pose), jnp.asarray(shape), jnp.asarray(loc), jnp.asarray(dist),
+        jnp.asarray(K), expression=jnp.zeros((B, 10)),
+    )
+    transl_ref = np.asarray(
+        inverse_perspective_projection(
+            jnp.asarray(loc[:, None]), jnp.asarray(K), jnp.asarray(dist[:, None])
+        )
+    )[:, 0]
+    np.testing.assert_allclose(np.asarray(out["transl"]), transl_ref, atol=1e-5)
+    # the person-center joint sits at transl
+    np.testing.assert_allclose(np.asarray(out["j3d"])[:, 5], transl_ref, atol=1e-5)
+    # and projects back to loc
+    np.testing.assert_allclose(np.asarray(out["j2d"])[:, 5], loc, atol=1e-2)
+    assert out["v3d"].shape == (B, model.num_vertices, 3)
+
+
+def test_camera_layer_no_person_center(rng):
+    """person_center=None: translation added to pelvis instead
+    (reference blocks/smpl_layer.py:128-131)."""
+    model = synthetic_body_model()
+    J = model.num_joints
+    layer = SMPLXCameraLayer(model, person_center=None)
+    B = 1
+    pose = rng.normal(scale=0.2, size=(B, J, 3)).astype(np.float32)
+    shape = jnp.zeros((B, 10))
+    K = jnp.asarray(np.array([[[500.0, 0, 300], [0, 500, 300], [0, 0, 1]]], np.float32))
+    out = layer(
+        jnp.asarray(pose), shape,
+        jnp.asarray(np.array([[250.0, 250.0]], np.float32)),
+        jnp.asarray(np.array([[4.0]], np.float32)), K,
+    )
+    # pelvis (= joint 0 of the rotated, pelvis-centered body) is at transl + pelvis_rest... we
+    # only check consistency: transl_pelvis equals j3d[:, 0]
+    np.testing.assert_allclose(
+        np.asarray(out["transl_pelvis"])[:, 0], np.asarray(out["j3d"])[:, 0], atol=1e-6
+    )
