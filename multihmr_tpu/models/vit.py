@@ -1,0 +1,150 @@
+"""DINOv2-geometry Vision Transformer backbone.
+
+The reference loads its ViT through ``torch.hub('facebookresearch/dinov2')``
+(reference blocks/dinov2.py:8-26) and calls
+``get_intermediate_layers(x)[0]`` — final-block, LayerNorm'd patch tokens
+without cls. This module re-implements that architecture TPU-first in
+flax.linen:
+
+  * NHWC input, patch embedding as an explicit unfold+matmul (guaranteed
+    single MXU matmul instead of relying on conv lowering);
+  * bf16 activations/matmuls with fp32 LayerNorms and fp32 params
+    (the reference runs fp16 autocast, demo.py:117);
+  * attention dispatches to the Pallas flash kernel on TPU;
+  * pos-embedding interpolation (bicubic, torch-exact incl. DINOv2's 0.1
+    offset) precomputed at parameter-conversion time, NOT per step: the
+    model's ``pos_embed`` param is stored already resampled to the target
+    grid, so the forward pass is pure static compute;
+  * LayerScale (DINOv2's per-channel residual scaling, init 1e-5) and exact
+    (erf) GELU to match torch's ``nn.GELU`` default.
+
+Architecture table (dinov2 S/B/L): patch 14, depth 12/12/24,
+dim 384/768/1024, heads 6/12/16, mlp ratio 4, qkv bias, pre-norm.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from multihmr_tpu.config import ViTConfig
+from multihmr_tpu.ops.attention import multi_head_attention
+
+
+class Mlp(nn.Module):
+    dim: int
+    hidden: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
+        return x
+
+
+class Attention(nn.Module):
+    dim: int
+    num_heads: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        B, N, D = x.shape
+        h = self.num_heads
+        dh = D // h
+        qkv = nn.Dense(3 * D, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, h, dh).transpose(2, 0, 3, 1, 4)  # [3,B,h,N,dh]
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        out = multi_head_attention(q, k, v)  # [B,h,N,dh]
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, D)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+
+class LayerScale(nn.Module):
+    dim: int
+    init: float = 1e-5
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param(
+            "gamma", nn.initializers.constant(self.init), (self.dim,), jnp.float32
+        )
+        return x * gamma.astype(self.dtype)
+
+
+class Block(nn.Module):
+    cfg: ViTConfig
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        # LayerNorms run in fp32 for stability, outputs cast back to bf16.
+        y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
+        y = Attention(c.embed_dim, c.num_heads, self.dtype, name="attn")(
+            y.astype(self.dtype)
+        )
+        x = x + LayerScale(c.embed_dim, c.layerscale_init, self.dtype, name="ls1")(y)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
+        y = Mlp(c.embed_dim, int(c.embed_dim * c.mlp_ratio), self.dtype, name="mlp")(
+            y.astype(self.dtype)
+        )
+        x = x + LayerScale(c.embed_dim, c.layerscale_init, self.dtype, name="ls2")(y)
+        return x
+
+
+class DINOv2ViT(nn.Module):
+    """Backbone returning final-norm patch tokens and the cls token.
+
+    Input: ``[B, S, S, 3]`` NHWC normalized image. The ``pos_embed`` param is
+    ``[1, 1 + (S/14)^2, D]`` — already interpolated to the working grid (see
+    module docstring).
+    """
+
+    cfg: ViTConfig
+    grid_size: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        B, H, W, _ = x.shape
+        p = c.patch_size
+        gh, gw = H // p, W // p
+        assert gh == gw == self.grid_size, (gh, gw, self.grid_size)
+        n = gh * gw
+
+        # Patch embedding: unfold to [B, N, p*p*3] then one big matmul.
+        patches = x.reshape(B, gh, p, gw, p, 3).transpose(0, 1, 3, 2, 4, 5)
+        patches = patches.reshape(B, n, p * p * 3).astype(self.dtype)
+        tokens = nn.Dense(c.embed_dim, dtype=self.dtype, name="patch_embed")(patches)
+
+        cls = self.param(
+            "cls_token", nn.initializers.normal(0.02), (1, 1, c.embed_dim), jnp.float32
+        )
+        pos = self.param(
+            "pos_embed",
+            nn.initializers.normal(0.02),
+            (1, 1 + n, c.embed_dim),
+            jnp.float32,
+        )
+        tokens = jnp.concatenate(
+            [jnp.broadcast_to(cls.astype(self.dtype), (B, 1, c.embed_dim)), tokens],
+            axis=1,
+        )
+        tokens = tokens + pos.astype(self.dtype)
+
+        for i in range(c.depth):
+            tokens = Block(c, self.dtype, name=f"block{i}")(tokens)
+
+        tokens = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(tokens)
+        return {
+            "patch_tokens": tokens[:, 1:].astype(self.dtype),  # [B, N, D]
+            "cls_token": tokens[:, 0].astype(self.dtype),  # [B, D]
+        }

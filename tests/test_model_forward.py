@@ -1,0 +1,160 @@
+"""Model assembly smoke tests + padding-invariance of the masked head.
+
+Padding-invariance is THE correctness property of the static-shape redesign:
+outputs at valid person slots must be identical whether the batch is padded
+to capacity K or truncated to the true person count (which is what the
+reference's ragged pipeline computes).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from multihmr_tpu.config import ModelConfig, ViTConfig
+from multihmr_tpu.bodymodel import synthetic_body_model
+from multihmr_tpu.models.multihmr import MultiHMR
+from multihmr_tpu.models.hph import MaskedSelfAttention, MaskedCrossAttention
+from multihmr_tpu.ops.detection import Detections
+
+
+TINY_VIT = ViTConfig(embed_dim=32, depth=2, num_heads=2)
+
+
+class TinyConfig(ModelConfig):
+    @property
+    def vit(self):
+        return TINY_VIT
+
+
+def make_model():
+    cfg = TinyConfig(
+        img_size=56, max_people=4, person_center="j5", compute_dtype="float32"
+    )
+    bm = synthetic_body_model()
+    names = [f"j{i}" for i in range(bm.num_output_joints)]
+    return MultiHMR(cfg, bm, person_center_joint_names=names)
+
+
+def default_K(B, img=56):
+    K = np.zeros((B, 3, 3), np.float32)
+    K[:, 0, 0] = K[:, 1, 1] = 100.0
+    K[:, 0, 2] = K[:, 1, 2] = img / 2
+    K[:, 2, 2] = 1.0
+    return jnp.asarray(K)
+
+
+def test_forward_shapes_inference():
+    model = make_model()
+    params = model.init_params(jax.random.PRNGKey(0))
+    B = 2
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, 56, 56, 3))
+    out = model.forward(params, x, default_K(B), det_thresh=0.3)
+    K = model.cfg.max_people
+    assert out["scores"].shape == (B, 4, 4)
+    assert out["rotvec"].shape == (B, K, 53, 3)
+    assert out["shape"].shape == (B, K, 10)
+    assert out["v3d"].shape == (B, K, model.body_model.num_vertices, 3)
+    assert out["j3d"].shape == (B, K, model.body_model.num_output_joints, 3)
+    assert out["loc"].shape == (B, K, 2)
+    assert np.isfinite(np.asarray(out["v3d"])).all()
+    persons = model.extract_persons(out)
+    assert len(persons) == B
+    for plist in persons:
+        for p in plist:
+            assert set(p) == {
+                "scores", "loc", "transl", "transl_pelvis", "rotvec",
+                "expression", "shape", "v3d", "j3d", "j2d",
+            }
+
+
+def test_forward_training_mode_uses_gt():
+    model = make_model()
+    params = model.init_params(jax.random.PRNGKey(0))
+    B, K = 2, model.cfg.max_people
+    gt = Detections(
+        rows=jnp.asarray([[1, 2, 0, 0], [3, 0, 0, 0]], jnp.int32),
+        cols=jnp.asarray([[1, 3, 0, 0], [0, 0, 0, 0]], jnp.int32),
+        scores=jnp.ones((B, K)),
+        valid=jnp.asarray([[1.0, 1.0, 0, 0], [1.0, 0, 0, 0]]),
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, 56, 56, 3))
+    out = model.forward(params, x, default_K(B), is_training=True, gt_det=gt)
+    assert out["det"] is gt
+    assert out["dist_postprocessed"].shape == (B, K, 1)
+    # invalid slots produce zero rotvec deltas? (masked head output decodes
+    # from init only) — just check finiteness and mask bookkeeping
+    assert np.isfinite(np.asarray(out["rotmat"])).all()
+
+
+@pytest.mark.parametrize("module_cls", ["sa", "ca"])
+def test_masked_attention_padding_invariance(module_cls, rng):
+    """Valid-slot outputs must not depend on padding (the reference computes
+    them on ragged tensors with max-count padding, cross_attn_transformer.py
+    :142-154,193-203)."""
+    dim, heads, dim_head, Kcap, N, ctx_dim = 64, 4, 16, 6, 32, 48
+    counts = [3, 1, 6]
+    B = len(counts)
+    x = rng.normal(size=(B, Kcap, dim)).astype(np.float32)
+    context = rng.normal(size=(B, N, ctx_dim)).astype(np.float32)
+    mask = np.zeros((B, Kcap), np.float32)
+    for b, cnt in enumerate(counts):
+        mask[b, :cnt] = 1
+
+    if module_cls == "sa":
+        mod = MaskedSelfAttention(dim, heads, dim_head)
+        params = mod.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(mask))
+        full = np.asarray(mod.apply(params, jnp.asarray(x), jnp.asarray(mask)))
+        for b, cnt in enumerate(counts):
+            trunc_x = jnp.asarray(x[b : b + 1, :cnt])
+            trunc = np.asarray(
+                mod.apply(params, trunc_x, jnp.ones((1, cnt), jnp.float32))
+            )
+            np.testing.assert_allclose(full[b, :cnt], trunc[0], atol=1e-5)
+    else:
+        mod = MaskedCrossAttention(dim, ctx_dim, heads, dim_head)
+        params = mod.init(
+            jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(context), jnp.asarray(mask)
+        )
+        full = np.asarray(
+            mod.apply(params, jnp.asarray(x), jnp.asarray(context), jnp.asarray(mask))
+        )
+        for b, cnt in enumerate(counts):
+            trunc = np.asarray(
+                mod.apply(
+                    params,
+                    jnp.asarray(x[b : b + 1, :cnt]),
+                    jnp.asarray(context[b : b + 1]),
+                    jnp.ones((1, cnt), jnp.float32),
+                )
+            )
+            np.testing.assert_allclose(full[b, :cnt], trunc[0], atol=1e-5)
+
+
+def test_full_model_padding_invariance():
+    """End-to-end: run the same image at capacity 4 and capacity 8 — valid
+    person outputs must match."""
+    bm = synthetic_body_model()
+    names = [f"j{i}" for i in range(bm.num_output_joints)]
+    cfg4 = TinyConfig(img_size=56, max_people=4, person_center="j5", compute_dtype="float32")
+    cfg8 = TinyConfig(img_size=56, max_people=8, person_center="j5", compute_dtype="float32")
+    m4 = MultiHMR(cfg4, bm, person_center_joint_names=names)
+    m8 = MultiHMR(cfg8, bm, person_center_joint_names=names)
+    params = m4.init_params(jax.random.PRNGKey(0))  # same net params work for both
+
+    x = jax.random.normal(jax.random.PRNGKey(7), (1, 56, 56, 3))
+    K = default_K(1)
+    out4 = m4.forward(params, x, K, det_thresh=0.5)
+    out8 = m8.forward(params, x, K, det_thresh=0.5)
+    n4 = int(out4["det"].count[0])
+    n8 = int(out8["det"].count[0])
+    if n4 == 0:
+        pytest.skip("random init produced no detections above 0.5")
+    assert n4 == min(n8, 4)
+    n = min(n4, n8)
+    np.testing.assert_allclose(
+        np.asarray(out4["v3d"])[0, :n], np.asarray(out8["v3d"])[0, :n], atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out4["rotvec"])[0, :n], np.asarray(out8["rotvec"])[0, :n], atol=1e-4
+    )
