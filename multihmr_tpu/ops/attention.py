@@ -92,8 +92,8 @@ def flash_attention(
     B, H, N, D = q.shape
     if scale is None:
         scale = D ** -0.5
-    bq = min(block_q, N)
-    bkv = min(block_kv, N)
+    bq = _pick_block(N, block_q)
+    bkv = _pick_block(N, block_kv)
     assert N % bq == 0 and N % bkv == 0, (N, bq, bkv)
     kv_steps = N // bkv
 
@@ -124,6 +124,22 @@ def flash_attention(
     return out.reshape(B, H, N, D)
 
 
+def _pick_block(n: int, target: int) -> int:
+    """Largest divisor of ``n`` that is ≤ target and lane-aligned (multiple
+    of 128, falling back to 8). ViT grids: 576/2304 → 256|512-ish blocks,
+    4096 → target itself."""
+    for align in (128, 8):
+        best = 0
+        b = align
+        while b <= min(target, n):
+            if n % b == 0:
+                best = b
+            b += align
+        if best:
+            return best
+    return n  # tiny sequences: single block
+
+
 def _on_tpu() -> bool:
     try:
         platform = jax.devices()[0].platform
@@ -139,7 +155,7 @@ def multi_head_attention(
     """Dispatch to the Pallas kernel on TPU for long sequences, XLA otherwise."""
     N = q.shape[-2]
     if use_flash is None:
-        use_flash = _on_tpu() and N >= 1024 and N % 256 == 0
+        use_flash = _on_tpu() and N >= 1024 and _pick_block(N, 512) >= 128
     if use_flash:
         return flash_attention(q, k, v, scale=scale)
     return mha_reference(q, k, v, scale=scale)
