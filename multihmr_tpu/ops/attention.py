@@ -35,17 +35,24 @@ def mha_reference(
     return jnp.einsum("bhnm,bhmd->bhnd", probs, v)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale, kv_steps):
-    """One (batch*head, q-block) program; grid dim 1 walks the kv blocks.
+_NEG = -1e30  # finite "masked" logit: exp(_NEG - m) underflows to 0
+
+
+def _flash_kernel(
+    q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale, kv_steps, bkv, kv_len
+):
+    """One (batch*head, q-block) program; grid dim 2 walks the kv blocks.
 
     Online-softmax accumulation in fp32 scratch; the final kv step writes the
     normalized output. Shapes per block: q [1, Bq, D], k/v [1, Bk, D].
+    ``kv_len`` masks padded trailing keys (sequence padded up to a
+    lane-aligned length).
     """
     kv_i = pl.program_id(2)
 
     @pl.when(kv_i == 0)
     def _init():
-        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        m_ref[:] = jnp.full_like(m_ref, _NEG)
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
@@ -56,6 +63,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale, k
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [Bq, Bk] fp32
     s = s * scale
+    if kv_len % bkv != 0:  # only the tail block can contain padding
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_i * bkv
+        s = jnp.where(col < kv_len, s, _NEG)
 
     m_prev = m_ref[:, 0]  # [Bq]
     m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1))
@@ -74,7 +84,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale, k
         o_ref[0] = (acc_ref[:] / l_ref[:, 0][:, None]).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_kv", "scale"))
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_kv", "scale", "interpret")
+)
 def flash_attention(
     q: jax.Array,
     k: jax.Array,
@@ -82,6 +94,7 @@ def flash_attention(
     scale: float | None = None,
     block_q: int = 512,
     block_kv: int = 512,
+    interpret: bool = False,
 ) -> jax.Array:
     """Pallas TPU flash attention, ``[B, H, N, Dh]`` → ``[B, H, N, Dh]``.
 
@@ -92,18 +105,28 @@ def flash_attention(
     B, H, N, D = q.shape
     if scale is None:
         scale = D ** -0.5
-    bq = _pick_block(N, block_q)
-    bkv = _pick_block(N, block_kv)
-    assert N % bq == 0 and N % bkv == 0, (N, bq, bkv)
-    kv_steps = N // bkv
+    # Pad the sequence to a lane-aligned length (ViT sequences are
+    # 1+grid^2 = 577/2305/4097/8465 — never aligned); padded keys are masked
+    # inside the kernel, padded query rows are sliced off afterwards.
+    Np = ((N + 127) // 128) * 128
+    if Np != N:
+        pad = [(0, 0), (0, 0), (0, Np - N), (0, 0)]
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+    bq = _pick_block(Np, block_q)
+    bkv = _pick_block(Np, block_kv)
+    kv_steps = Np // bkv
 
-    qf = q.reshape(B * H, N, D)
-    kf = k.reshape(B * H, N, D)
-    vf = v.reshape(B * H, N, D)
+    qf = q.reshape(B * H, Np, D)
+    kf = k.reshape(B * H, Np, D)
+    vf = v.reshape(B * H, Np, D)
 
-    grid = (B * H, N // bq, kv_steps)
+    grid = (B * H, Np // bq, kv_steps)
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, kv_steps=kv_steps),
+        functools.partial(
+            _flash_kernel, scale=scale, kv_steps=kv_steps, bkv=bkv, kv_len=N
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0)),
@@ -111,7 +134,7 @@ def flash_attention(
             pl.BlockSpec((1, bkv, D), lambda b, i, j: (b, j, 0)),
         ],
         out_specs=pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((B * H, N, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B * H, Np, D), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((bq, D), jnp.float32),
             pltpu.VMEM((bq, 1), jnp.float32),
@@ -120,8 +143,10 @@ def flash_attention(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
+        interpret=interpret,
     )(qf, kf, vf)
-    return out.reshape(B, H, N, D)
+    out = out.reshape(B, H, Np, D)
+    return out[:, :, :N] if Np != N else out
 
 
 def _pick_block(n: int, target: int) -> int:
@@ -155,7 +180,7 @@ def multi_head_attention(
     """Dispatch to the Pallas kernel on TPU for long sequences, XLA otherwise."""
     N = q.shape[-2]
     if use_flash is None:
-        use_flash = _on_tpu() and N >= 1024 and _pick_block(N, 512) >= 128
+        use_flash = _on_tpu() and N >= 1024
     if use_flash:
         return flash_attention(q, k, v, scale=scale)
     return mha_reference(q, k, v, scale=scale)

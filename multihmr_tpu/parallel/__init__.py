@@ -1,0 +1,7 @@
+from multihmr_tpu.parallel.sharding import (  # noqa: F401
+    make_mesh,
+    param_shardings,
+    batch_sharding,
+    replicated,
+    shard_params,
+)

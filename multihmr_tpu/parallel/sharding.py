@@ -1,0 +1,96 @@
+"""Device-mesh sharding for Multi-HMR.
+
+The reference is single-GPU (``CUDA_VISIBLE_DEVICES=1 python3.9 train.py``,
+reference README.md:203; no torch.distributed anywhere — SURVEY §2.3). This
+module is the TPU-native scaling layer that replaces nothing and adds what
+the reference never had:
+
+  * **data parallelism** over a ``data`` mesh axis: batched-folder inference
+    and training shard the batch; XLA inserts gradient ``psum`` over ICI
+    automatically under jit;
+  * **tensor parallelism** over a ``model`` axis for ViT-L at high
+    resolutions: attention qkv / MLP fc1 shard their output features,
+    proj / fc2 shard input features (Megatron-style pairing), so each block
+    needs exactly one all-reduce per branch and activations stay sharded
+    through the pointwise ops.
+
+Everything is expressed as ``NamedSharding(mesh, PartitionSpec(...))`` on
+the parameter pytree + batch inputs; no hand-written collectives. The same
+code runs on one chip (trivial mesh) and on a pod slice.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    model_parallel: int = 1,
+    axis_names: Sequence[str] = ("data", "model"),
+    devices=None,
+) -> Mesh:
+    """Build a 2D (data, model) mesh. ``model_parallel=1`` → pure DP."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    assert n % model_parallel == 0, (n, model_parallel)
+    arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, axis_names=tuple(axis_names))
+
+
+# Megatron-style ViT tensor-parallel rules, matched against flax param paths
+# like "backbone/block3/attn/qkv/kernel".
+_TP_RULES = [
+    (re.compile(r"backbone/.*attn/qkv/kernel$"), P(None, "model")),
+    (re.compile(r"backbone/.*attn/qkv/bias$"), P("model")),
+    (re.compile(r"backbone/.*attn/proj/kernel$"), P("model", None)),
+    (re.compile(r"backbone/.*mlp/fc1/kernel$"), P(None, "model")),
+    (re.compile(r"backbone/.*mlp/fc1/bias$"), P("model")),
+    (re.compile(r"backbone/.*mlp/fc2/kernel$"), P("model", None)),
+]
+
+
+def _spec_for(path: str, leaf) -> P:
+    for rule, spec in _TP_RULES:
+        if rule.search(path):
+            return spec
+    return P()  # replicated
+
+
+def param_shardings(mesh: Mesh, params):
+    """NamedSharding pytree for a MultiHMR param tree (TP on the ViT,
+    everything else replicated)."""
+
+    def assign(path, leaf):
+        path_str = "/".join(str(getattr(p, "key", p)) for p in path)
+        return NamedSharding(mesh, _spec_for(path_str, leaf))
+
+    return jax.tree_util.tree_map_with_path(assign, params)
+
+
+def batch_sharding(mesh: Mesh, pytree=None):
+    """Shard the leading batch axis over 'data'."""
+    s = NamedSharding(mesh, P("data"))
+    if pytree is None:
+        return s
+    return jax.tree_util.tree_map(lambda _: s, pytree)
+
+
+def replicated(mesh: Mesh, pytree=None):
+    s = NamedSharding(mesh, P())
+    if pytree is None:
+        return s
+    return jax.tree_util.tree_map(lambda _: s, pytree)
+
+
+def shard_params(mesh: Mesh, params):
+    """Place a parameter pytree onto the mesh with TP/replication layout."""
+    return jax.device_put(params, param_shardings(mesh, params))

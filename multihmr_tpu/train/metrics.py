@@ -1,0 +1,151 @@
+"""Evaluation metrics: detection PRF1, greedy 2D matching, PVE family.
+
+Host-side numpy equivalents of reference utils/training.py:9-225 and the
+metric math inside ``Trainer.evaluate`` (reference train.py:336-482). The
+matcher follows the ROMP-style greedy protocol the reference uses: repeatedly
+take the globally closest (pred, gt) pair by L2 distance over valid
+keypoints; accept it if both are unassigned and the keypoint bounding boxes
+overlap with IoU ≥ 0.05, count a false positive when the closest pair for a
+prediction fails the IoU gate.
+
+The per-mesh errors (PVE / PA-PVE / MPJPE / PA-MPJPE) run in JAX so the
+Procrustes SVD batches on device during eval sweeps.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from multihmr_tpu.ops.rotations import rigid_points_registration
+
+
+def compute_prf1(count: int, miss: int, fp: int) -> Tuple[float, float, float]:
+    """Precision/recall/F1 in percent, rounded like the reference
+    (utils/training.py:9-23)."""
+    if count == 0:
+        return 0, 0, 0
+    tp = count - miss
+    fn = miss
+    if tp == 0:
+        return 0.0, 0.0, 0.0
+    f1 = round(tp / (tp + 0.5 * (fp + fn)), 2)
+    recall = round(tp / (tp + fn), 2)
+    precision = round(tp / (tp + fp), 2)
+    return 100.0 * precision, 100.0 * recall, 100.0 * f1
+
+
+def _bbox_iou_plus1(p1: np.ndarray, p2: np.ndarray) -> float:
+    """IoU of keypoint-set bounding boxes with the reference's +1 pixel
+    inclusive-area convention (utils/training.py:149-194)."""
+    a_min, a_max = p1.min(0), p1.max(0)
+    b_min, b_max = p2.min(0), p2.max(0)
+    x_left = max(a_min[0], b_min[0])
+    y_top = max(a_min[1], b_min[1])
+    x_right = min(a_max[0], b_max[0])
+    y_bottom = min(a_max[1], b_max[1])
+    inter = max(0.0, x_right - x_left + 1) * max(0.0, y_bottom - y_top + 1)
+    area_a = (a_max[0] - a_min[0] + 1) * (a_max[1] - a_min[1] + 1)
+    area_b = (b_max[0] - b_min[0] + 1) * (b_max[1] - b_min[1] + 1)
+    return inter / float(area_a + area_b - inter)
+
+
+def match_2d_greedy(
+    pred_kps: Sequence[np.ndarray],
+    gt_kps: Sequence[np.ndarray],
+    valid_mask: Sequence[np.ndarray],
+    iou_thresh: float = 0.05,
+) -> Tuple[np.ndarray, List[int], List[int]]:
+    """Greedy bipartite matching of predicted to GT people in 2D.
+
+    Returns (bestMatch [(pred_idx, gt_idx)...], falsePositives, misses) with
+    the reference's protocol (utils/training.py:25-147).
+    """
+    n_pred, n_gt = len(pred_kps), len(gt_kps)
+    if n_pred == 0:
+        return np.zeros((0, 2), int), [], list(range(n_gt))
+    if n_gt == 0:
+        return np.zeros((0, 2), int), list(range(n_pred)), []
+
+    pairs = [(i, j) for i in range(n_pred) for j in range(n_gt)]
+    errors = np.array(
+        [
+            np.linalg.norm(pred_kps[i][valid_mask[j], :2] - gt_kps[j][valid_mask[j], :2])
+            for i, j in pairs
+        ]
+    )
+    pred_assigned = np.zeros(n_pred, bool)
+    gt_assigned = np.zeros(n_gt, bool)
+    best_match = []
+    fp_counter = 0
+    while gt_assigned.sum() < n_gt and pred_assigned.sum() + fp_counter < n_pred:
+        # walk pairs by increasing error until one is actionable
+        action = None  # "match" | "fp" | None (exhausted)
+        while not np.isinf(errors).all():
+            m = int(np.argmin(errors))
+            i, j = pairs[m]
+            iou = _bbox_iou_plus1(pred_kps[i], gt_kps[j])
+            errors[m] = np.inf
+            if not pred_assigned[i] and not gt_assigned[j] and iou >= iou_thresh:
+                action = "match"
+                break
+            if iou < iou_thresh:
+                action = "fp"
+                break
+        if action is None:
+            break
+        if action == "match":
+            best_match.append((i, j))
+            pred_assigned[i] = True
+            gt_assigned[j] = True
+        else:
+            fp_counter += 1
+
+    matched_preds = {i for i, _ in best_match}
+    matched_gts = {j for _, j in best_match}
+    false_positives = [i for i in range(n_pred) if i not in matched_preds]
+    misses = [j for j in range(n_gt) if j not in matched_gts]
+    return np.asarray(best_match, int).reshape(-1, 2), false_positives, misses
+
+
+def pve(pred_verts, gt_verts, pred_pelvis, gt_pelvis) -> np.ndarray:
+    """Pelvis-centered per-vertex error in mm (reference train.py:373-388).
+    Inputs ``[..., V, 3]`` meters; pelvis ``[..., 1, 3]``."""
+    err = np.linalg.norm(
+        (np.asarray(pred_verts) - np.asarray(pred_pelvis))
+        - (np.asarray(gt_verts) - np.asarray(gt_pelvis)),
+        axis=-1,
+    )
+    return 1000.0 * err.mean(-1)
+
+
+def pa_pve(pred_verts, gt_verts) -> np.ndarray:
+    """Procrustes-aligned per-vertex error in mm (reference train.py:391-394)."""
+    pred = jnp.asarray(pred_verts)
+    gt = jnp.asarray(gt_verts)
+    R, s, t = rigid_points_registration(pred, gt)
+    aligned = s[..., None, None] * jnp.einsum("...ij,...nj->...ni", R, pred) + t[..., None, :]
+    err = jnp.linalg.norm(aligned - gt, axis=-1).mean(-1)
+    return 1000.0 * np.asarray(err)
+
+
+class AverageMeter:
+    """Running average (reference utils/training.py:197-225)."""
+
+    def __init__(self, name: str, fmt: str = ":f"):
+        self.name, self.fmt = name, fmt
+        self.reset()
+
+    def reset(self):
+        self.val = self.avg = self.sum = self.count = 0
+
+    def update(self, val, n: int = 1):
+        self.val = val
+        self.sum += val * n
+        self.count += n
+        self.avg = self.sum / self.count
+
+    def __str__(self):
+        return f"{self.name} {self.val:{self.fmt[1:]}} ({self.avg:{self.fmt[1:]}})"
