@@ -69,53 +69,53 @@ class BodyModel:
 
 
 def _forward_kinematics(
-    rotmats: jax.Array, joints: jax.Array, parents: jax.Array
-) -> tuple[jax.Array, jax.Array]:
+    rotmats: jax.Array, joints: jax.Array, parents
+) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Compose per-joint local rotations along the kinematic tree.
+
+    The loop is statically unrolled over the (static, ≤163-joint) tree with
+    (R, t) pairs instead of 4x4 homogeneous matrices: dynamic-slice updates
+    on ``[B, J, 4, 4]`` layouts compile pathologically on TPU (sub-tile
+    trailing dims + per-step DUS), while 55 static 3x3 composes fold into a
+    flat, layout-stable XLA graph.
 
     Args:
       rotmats: ``[B, J, 3, 3]`` local joint rotations.
       joints: ``[B, J, 3]`` rest-pose joint locations.
       parents: ``[J]`` parent indices, topologically ordered (parents[j] < j).
+        Must be trace-time static (body-model constants are closure
+        constants, never jit arguments).
     Returns:
-      (posed_joints ``[B, J, 3]``, rel_transforms ``[B, J, 4, 4]``) where
-      rel_transforms map rest-pose-relative points to posed space (the "A"
-      matrices of the SMPL paper: ``G_j @ inv(G_rest_j)`` in closed form).
+      (posed_joints ``[B, J, 3]``, world_R ``[B, J, 3, 3]``,
+       rel_t ``[B, J, 3]``) where (world_R, rel_t) form the skinning
+      transform A_j = [world_R_j | posed_j − world_R_j @ rest_j] (the SMPL
+      "G_j inv(G_rest_j)" in closed form, no 4x4 inverse).
     """
-    B, J = rotmats.shape[0], rotmats.shape[1]
-    rel_j = joints - jnp.where(
-        (parents < 0)[None, :, None], 0.0, joints[:, jnp.clip(parents, 0)]
-    )
+    import numpy as np
 
-    def compose(carry, inputs):
-        # carry: [B, J, 4, 4] accumulated world transforms (filled progressively)
-        world, j = carry
+    parents = np.asarray(jax.device_get(parents))
+    J = rotmats.shape[1]
+    hi = jax.lax.Precision.HIGHEST
+
+    world_R = [None] * J
+    world_t = [None] * J
+    for j in range(J):
         R_j = rotmats[:, j]
-        t_j = rel_j[:, j]
-        local = jnp.concatenate(
-            [
-                jnp.concatenate([R_j, t_j[..., None]], axis=-1),
-                jnp.broadcast_to(
-                    jnp.array([0.0, 0.0, 0.0, 1.0], rotmats.dtype), (B, 1, 4)
-                ),
-            ],
-            axis=-2,
-        )  # [B, 4, 4]
-        parent = jnp.clip(parents[j], 0)
-        parent_world = jnp.where(parents[j] < 0, jnp.eye(4, dtype=rotmats.dtype), world[:, parent])
-        world_j = jnp.matmul(parent_world, local, precision=jax.lax.Precision.HIGHEST)
-        world = jax.lax.dynamic_update_index_in_dim(world, world_j, j, axis=1)
-        return (world, j + 1), None
-
-    init = jnp.zeros((B, J, 4, 4), rotmats.dtype)
-    (world, _), _ = jax.lax.scan(compose, (init, 0), None, length=J)
-
-    posed_joints = world[..., :3, 3]
-    # A_j = G_j with translation replaced by t - R @ J_rest (closed-form
-    # G_j @ inv([I | J_rest])), avoiding an explicit 4x4 inverse.
-    corrected_t = posed_joints - _EINSUM("bjmn,bjn->bjm", world[..., :3, :3], joints)
-    rel = world.at[..., :3, 3].set(corrected_t)
-    return posed_joints, rel
+        p = int(parents[j])
+        if p < 0:
+            world_R[j] = R_j
+            world_t[j] = joints[:, j]
+        else:
+            t_j = joints[:, j] - joints[:, p]
+            world_R[j] = jnp.matmul(world_R[p], R_j, precision=hi)
+            world_t[j] = (
+                jnp.einsum("bmn,bn->bm", world_R[p], t_j, precision=hi)
+                + world_t[p]
+            )
+    Rw = jnp.stack(world_R, axis=1)  # [B, J, 3, 3]
+    posed_joints = jnp.stack(world_t, axis=1)  # [B, J, 3]
+    rel_t = posed_joints - _EINSUM("bjmn,bjn->bjm", Rw, joints)
+    return posed_joints, Rw, rel_t
 
 
 def lbs_forward(
@@ -164,13 +164,15 @@ def lbs_forward(
     )
 
     # --- forward kinematics ---
-    posed_joints, rel = _forward_kinematics(rotmats, joints_rest, model.parents)
-
-    # --- linear blend skinning ---
-    T = _EINSUM("vj,bjmn->bvmn", model.lbs_weights, rel)  # [B, V, 4, 4]
-    verts = (
-        _EINSUM("bvmn,bvn->bvm", T[..., :3, :3], v_posed) + T[..., :3, 3]
+    posed_joints, world_R, rel_t = _forward_kinematics(
+        rotmats, joints_rest, model.parents
     )
+
+    # --- linear blend skinning: blend (R, t) separately — two einsums, no
+    # 4x4 homogeneous padding ---
+    T_R = _EINSUM("vj,bjmn->bvmn", model.lbs_weights, world_R)  # [B, V, 3, 3]
+    T_t = _EINSUM("vj,bjm->bvm", model.lbs_weights, rel_t)  # [B, V, 3]
+    verts = _EINSUM("bvmn,bvn->bvm", T_R, v_posed) + T_t
 
     # --- output joint set (smplx layout) ---
     out_joints = [posed_joints]
@@ -187,5 +189,20 @@ def lbs_forward(
         "vertices": verts,
         "joints": joints,
         "joints_fk": posed_joints,
-        "rel_transforms": rel,
+        "world_rot": world_R,  # [B, J, 3, 3] world-frame joint rotations
+        "rel_t": rel_t,  # [B, J, 3] skinning translations
     }
+
+
+def world_transforms_homogeneous(out: dict) -> jax.Array:
+    """Assemble ``[B, J, 4, 4]`` world transforms (G matrices: translation =
+    posed joint position) from an :func:`lbs_forward` output — the Anny
+    ``bone_poses`` layout (reference multi_hmr_anny/multi_hmr.py:179)."""
+    R = out["world_rot"]
+    t = out["joints_fk"]
+    B, J = R.shape[:2]
+    top = jnp.concatenate([R, t[..., None]], axis=-1)  # [B, J, 3, 4]
+    bottom = jnp.broadcast_to(
+        jnp.array([0.0, 0.0, 0.0, 1.0], R.dtype), (B, J, 1, 4)
+    )
+    return jnp.concatenate([top, bottom], axis=-2)

@@ -1,0 +1,127 @@
+"""Batch-inference CLI — the analogue of reference demo.py:244-384.
+
+Usage:
+    python -m multihmr_tpu.cli.demo --img_folder example_data --out_folder out \
+        --model_name multiHMR_896_L [--ckpt path.pt] [--det_thresh 0.3] \
+        [--nms_kernel_size 3] [--fov 60] [--save_mesh] [--distance]
+
+Differences from the reference CLI (same flags, same outputs):
+  * the forward is ONE jit-compiled XLA program reused across images (the
+    reference pays python+dispatch per image and syncs per image,
+    demo.py:333-338 — here only the final host fetch syncs);
+  * --ckpt converts a reference torch checkpoint on the fly; without it the
+    model runs randomly initialized (useful for pipeline checks only).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--img_folder", type=str, required=True)
+    parser.add_argument("--out_folder", type=str, default="demo_out")
+    parser.add_argument("--model_name", type=str, default="multiHMR_896_L")
+    parser.add_argument("--ckpt", type=str, default=None)
+    parser.add_argument("--det_thresh", type=float, default=0.3)
+    parser.add_argument("--nms_kernel_size", type=int, default=3)
+    parser.add_argument("--fov", type=float, default=60)
+    parser.add_argument("--extra_views", type=int, default=0)
+    parser.add_argument("--distance", type=int, default=0)
+    parser.add_argument("--save_mesh", type=int, default=0)
+    parser.add_argument("--unique_color", type=int, default=0)
+    parser.add_argument("--alpha", type=float, default=0.75)
+    args = parser.parse_args()
+
+    from multihmr_tpu.factory import build_model
+    from multihmr_tpu.io.preprocessing import (
+        open_image,
+        get_camera_parameters,
+        rescale_K_to_original,
+    )
+    from multihmr_tpu.render import (
+        overlay_human_meshes,
+        print_distance_on_image,
+        export_obj,
+        create_glb_scene,
+    )
+
+    model, params = build_model(args.model_name, checkpoint=args.ckpt)
+    if params is None:
+        print("WARNING: no checkpoint given — running with random weights")
+        params = model.init_params(jax.random.PRNGKey(0))
+
+    fwd = jax.jit(
+        lambda p, x, K: model.forward(
+            p, x, K, det_thresh=args.det_thresh, nms_kernel_size=args.nms_kernel_size
+        )
+    )
+
+    os.makedirs(args.out_folder, exist_ok=True)
+    img_paths = sorted(
+        f
+        for f in os.listdir(args.img_folder)
+        if f.lower().endswith((".jpg", ".jpeg", ".png"))
+    )
+    K_model = get_camera_parameters(model.cfg.img_size, fov=args.fov)
+    faces = np.asarray(model.body_model.faces)
+
+    durations = []
+    for name in img_paths:
+        x, img_visu = open_image(
+            os.path.join(args.img_folder, name), model.cfg.img_size, return_pil=True
+        )
+        t0 = time.time()
+        out = fwd(params, jnp.asarray(x), jnp.asarray(K_model))
+        jax.block_until_ready(out["v3d"])
+        durations.append(time.time() - t0)
+        humans = model.extract_persons(out)[0]
+
+        w, h = (img_visu.size if hasattr(img_visu, "size") else img_visu.shape[1::-1])
+        K_full = rescale_K_to_original(K_model, w, h, model.cfg.img_size)
+        arr, colors = overlay_human_meshes(
+            humans, faces, K_full, img_visu,
+            unique_color=bool(args.unique_color), alpha=args.alpha,
+        )
+        if args.distance:
+            arr = print_distance_on_image(arr, humans, colors)
+        save_fn = os.path.join(args.out_folder, f"{name}_{args.model_name}.png")
+        try:
+            from PIL import Image
+
+            Image.fromarray(
+                np.concatenate([np.asarray(img_visu), arr], 1).astype(np.uint8)
+            ).save(save_fn)
+        except ImportError:  # pragma: no cover
+            np.save(save_fn + ".npy", arr)
+
+        if args.save_mesh:
+            l_mesh = [np.asarray(hum["v3d"]) for hum in humans]
+            np.save(save_fn + ".npy", np.asarray(l_mesh))
+            create_glb_scene(l_mesh, [faces] * len(l_mesh), save_fn + ".glb")
+            for j, m in enumerate(l_mesh):
+                export_obj(save_fn + f".person{j}.obj", m, faces)
+
+        print(
+            f"{name}: {len(humans)} persons, "
+            f"{int(1000 * np.median(durations))} ms median -> {save_fn}"
+        )
+
+    summary = {
+        "n_images": len(img_paths),
+        "p50_ms": float(1000 * np.median(durations)) if durations else None,
+    }
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,81 @@
+"""Batch collation: per-image person lists → padded [B, Kh] arrays.
+
+Equivalent of reference datasets/bedlam.py:365-426 (``collate_fn``): humans
+are zero-padded to the max count in the batch and a ``valid_humans`` mask is
+emitted. Here the pad target is the model's static capacity so every batch
+has the same shape (one XLA program; no shape-driven recompiles).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def resize_with_K(
+    img: np.ndarray, K: np.ndarray, img_size: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Contain-resize + centered zero-pad an image and update K accordingly
+    (reference datasets/bedlam.py:208-236: scale focal/principal point by the
+    resize ratio, shift the principal point by the pad offset)."""
+    from multihmr_tpu.io.preprocessing import contain_size, resize_pad_numpy
+
+    h, w = img.shape[:2]
+    nw, nh = contain_size(w, h, img_size)
+    ratio = nw / w  # == nh / h up to rounding
+    out = resize_pad_numpy(img, img_size)
+    K = K.copy().astype(np.float32)
+    off_x, off_y = (img_size - nw) // 2, (img_size - nh) // 2
+    K[0, 0] *= ratio
+    K[1, 1] *= ratio
+    K[0, 2] = K[0, 2] * ratio + off_x
+    K[1, 2] = K[1, 2] * ratio + off_y
+    return out, K
+
+
+def collate_padded(
+    samples: Sequence[Dict], max_people: int, person_keys: Optional[List[str]] = None
+) -> Dict[str, np.ndarray]:
+    """Stack per-image sample dicts into a padded batch.
+
+    Each sample has image-level arrays (``image``, ``K``, ...) and a
+    ``humans`` list of per-person dicts (``pose [53,3]``, ``shape``,
+    ``transl``, ...). Persons beyond ``max_people`` are dropped (the
+    reference pads to the batch max instead — a dynamic shape; here the
+    capacity is static).
+    """
+    B = len(samples)
+    batch: Dict[str, np.ndarray] = {}
+    # image-level keys
+    for key in samples[0]:
+        if key == "humans":
+            continue
+        batch[key] = np.stack([np.asarray(s[key]) for s in samples])
+
+    if person_keys is None:
+        person_keys = sorted(
+            {k for s in samples for h in s["humans"] for k in h}
+        )
+    valid = np.zeros((B, max_people), np.float32)
+    for key in person_keys:
+        proto = None
+        for s in samples:
+            for h in s["humans"]:
+                if key in h:
+                    proto = np.asarray(h[key])
+                    break
+            if proto is not None:
+                break
+        if proto is None:
+            continue
+        arr = np.zeros((B, max_people) + proto.shape, proto.dtype)
+        for b, s in enumerate(samples):
+            for i, h in enumerate(s["humans"][:max_people]):
+                if key in h:
+                    arr[b, i] = np.asarray(h[key])
+        batch[f"gt_{key}"] = arr
+    for b, s in enumerate(samples):
+        valid[b, : min(len(s["humans"]), max_people)] = 1.0
+    batch["gt_valid"] = valid
+    return batch

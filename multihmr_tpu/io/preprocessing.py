@@ -1,0 +1,116 @@
+"""Host-side image preprocessing.
+
+Equivalent of reference demo.py:27-68: aspect-preserving resize
+(``ImageOps.contain``), zero-pad to square (``ImageOps.pad``), ImageNet
+normalization, and FOV-based intrinsics. The resize runs on the host (PIL if
+available, else a bilinear numpy fallback, else the native C++ preprocessor
+when built); normalization runs on device as part of the jit program.
+
+Note on layout: the framework consumes NHWC images (TPU-native), not the
+reference's NCHW.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from multihmr_tpu.ops.image import IMG_NORM_MEAN, IMG_NORM_STD
+from multihmr_tpu.ops.camera import get_focal_length_from_fov
+
+try:  # PIL is optional
+    from PIL import Image, ImageOps
+
+    _HAS_PIL = True
+except ImportError:  # pragma: no cover
+    _HAS_PIL = False
+
+
+def contain_size(w: int, h: int, target: int) -> Tuple[int, int]:
+    """ImageOps.contain semantics: fit inside (target, target) preserving
+    aspect ratio (round-half-up like PIL)."""
+    if w >= h:
+        nw = target
+        nh = max(1, int(round(h * target / w)))
+    else:
+        nh = target
+        nw = max(1, int(round(w * target / h)))
+    return nw, nh
+
+
+def resize_pad_numpy(img: np.ndarray, img_size: int) -> np.ndarray:
+    """Bilinear contain + centered zero-pad, pure numpy (HWC uint8)."""
+    h, w = img.shape[:2]
+    nw, nh = contain_size(w, h, img_size)
+    ys = (np.arange(nh) + 0.5) * h / nh - 0.5
+    xs = (np.arange(nw) + 0.5) * w / nw - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(ys - y0, 0, 1)[:, None, None]
+    wx = np.clip(xs - x0, 0, 1)[None, :, None]
+    img_f = img.astype(np.float32)
+    top = img_f[y0][:, x0] * (1 - wx) + img_f[y0][:, x1] * wx
+    bot = img_f[y1][:, x0] * (1 - wx) + img_f[y1][:, x1] * wx
+    resized = top * (1 - wy) + bot * wy
+    out = np.zeros((img_size, img_size, img.shape[2]), np.float32)
+    oy, ox = (img_size - nh) // 2, (img_size - nw) // 2
+    out[oy : oy + nh, ox : ox + nw] = resized
+    return out.astype(img.dtype)
+
+
+def open_image(
+    path: str, img_size: int, return_pil: bool = False
+):
+    """Load → contain-resize → pad → normalized NHWC float32 [1,S,S,3]
+    (reference demo.py:27-51). Returns (x, original) where original is the
+    unresized image (PIL or array) for visualization."""
+    if _HAS_PIL:
+        img_pil = Image.open(path).convert("RGB")
+        original = img_pil.copy()
+        img_pil = ImageOps.contain(img_pil, (img_size, img_size))
+        img_pil = ImageOps.pad(img_pil, size=(img_size, img_size))
+        arr = np.asarray(img_pil)
+    else:  # pragma: no cover
+        raw = np.asarray(__import__("imageio").imread(path))
+        original = raw
+        arr = resize_pad_numpy(raw, img_size)
+    x = normalize_nhwc(arr)
+    return x[None], (original if return_pil else np.asarray(original))
+
+
+def normalize_nhwc(img: np.ndarray) -> np.ndarray:
+    """uint8 HWC → float32 HWC ImageNet-normalized."""
+    x = img.astype(np.float32) / 255.0
+    return (x - IMG_NORM_MEAN) / IMG_NORM_STD
+
+
+def get_camera_parameters(
+    img_size: int,
+    fov: float = 60,
+    p_x: Optional[float] = None,
+    p_y: Optional[float] = None,
+) -> np.ndarray:
+    """K for the padded square image (reference demo.py:53-68). [1,3,3]."""
+    K = np.eye(3, dtype=np.float32)
+    focal = get_focal_length_from_fov(fov=fov, img_size=img_size)
+    K[0, 0] = K[1, 1] = focal
+    if p_x is not None and p_y is not None:
+        K[0, 2], K[1, 2] = p_x * img_size, p_y * img_size
+    else:
+        K[0, 2] = K[1, 2] = img_size // 2
+    return K[None]
+
+
+def rescale_K_to_original(K: np.ndarray, orig_w: int, orig_h: int, img_size: int):
+    """Update K for rendering at the original resolution
+    (reference demo.py:341-344)."""
+    K = K.copy()
+    ratio = max(orig_w, orig_h) / img_size
+    K[0, 0, 2] = orig_w / 2.0
+    K[0, 1, 2] = orig_h / 2.0
+    K[0, 0, 0] *= ratio
+    K[0, 1, 1] *= ratio
+    return K

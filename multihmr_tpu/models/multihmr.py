@@ -184,7 +184,9 @@ class MultiHMR:
     def init_params(self, rng_key, batch_size: int = 1):
         x = jnp.zeros((batch_size, self.cfg.img_size, self.cfg.img_size, 3))
         K = jnp.broadcast_to(jnp.eye(3), (batch_size, 3, 3))
-        return self.net.init(rng_key, x, K)
+        # jit so initialization is ONE compiled program (eager init would
+        # dispatch hundreds of individual ops — pathological on remote TPU).
+        return jax.jit(self.net.init)(rng_key, x, K)
 
     def forward(
         self,

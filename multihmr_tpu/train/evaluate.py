@@ -1,0 +1,130 @@
+"""Evaluation harness — the analogue of reference train.py:336-482.
+
+Per image: forward the model, greedily match predicted people to GT in 2D,
+accumulate PVE / PA-PVE (and MPJPE / PA-MPJPE via the H36M regressor for
+3DPW), plus precision/recall/F1 from the matching.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from multihmr_tpu.train.metrics import (
+    match_2d_greedy,
+    compute_prf1,
+    pve as pve_fn,
+    pa_pve,
+    AverageMeter,
+)
+from multihmr_tpu.ops.camera import perspective_projection
+from multihmr_tpu.bodymodel.constants import H36M_TO_J14
+
+
+def evaluate_dataset(
+    model,
+    params,
+    dataset,
+    det_thresh: float = 0.3,
+    nms_kernel_size: int = 3,
+    smplx2smpl: Optional[np.ndarray] = None,  # [6890, 10475] for 3DPW
+    J_regressor_h36m: Optional[np.ndarray] = None,  # [17, 6890]
+    gt_forward: Optional[Callable] = None,
+    max_images: Optional[int] = None,
+    log_every: int = 50,
+    log_fn=print,
+) -> Dict[str, float]:
+    """Run eval over a dataset yielding (image NHWC, annot dict).
+
+    ``gt_forward(annot) -> dict(v3d [P,V,3], j3d [P,J,3], j2d [P,J,2])``
+    supplies GT meshes for datasets that store parameters rather than
+    vertices; EHF-style datasets with ``smplx_vertices`` are handled
+    natively (GT joints regressed with the model's J_regressor, reference
+    train.py:72-74).
+    """
+    fwd = jax.jit(
+        lambda p, x, K: model.forward(
+            p, x, K, det_thresh=det_thresh, nms_kernel_size=nms_kernel_size
+        )
+    )
+    meters = {k: AverageMeter(k) for k in ["pve", "pa_pve", "mpjpe", "pa_mpjpe"]}
+    count = miss = fp = 0
+
+    n = len(dataset) if max_images is None else min(len(dataset), max_images)
+    for i in range(n):
+        x, annot = dataset[i]
+        out = fwd(params, jnp.asarray(x[None]), jnp.asarray(annot["K"][None]))
+        persons = model.extract_persons(out)[0]
+
+        # ---- GT meshes ----
+        if gt_forward is not None:
+            gt = gt_forward(annot)
+        elif "smplx_vertices" in annot["humans"][0]:
+            verts = np.stack([h["smplx_vertices"] for h in annot["humans"]])
+            Jreg = np.asarray(model.body_model.J_regressor)
+            j3d = np.einsum("jv,pvc->pjc", Jreg, verts)
+            j2d = np.asarray(
+                perspective_projection(
+                    jnp.asarray(j3d), jnp.asarray(annot["K"][None])
+                )
+            )
+            gt = {"v3d": verts, "j3d": j3d, "j2d": j2d}
+        else:
+            raise ValueError("dataset provides no GT meshes and no gt_forward")
+
+        n_gt = gt["v3d"].shape[0]
+        count += n_gt
+        if not persons:
+            miss += n_gt
+            continue
+
+        pred_j2d = [np.asarray(p["j2d"]) for p in persons]
+        valid_mask = [np.ones(gt["j2d"].shape[1], bool)] * n_gt
+        best, fps, misses = match_2d_greedy(pred_j2d, list(gt["j2d"]), valid_mask)
+        fp += len(fps)
+        miss += len(misses)
+
+        for pi, gi in best:
+            pv = np.asarray(persons[pi]["v3d"])[None]
+            gv = gt["v3d"][gi][None]
+            if smplx2smpl is not None:  # 3DPW: map SMPL-X verts → SMPL topology
+                pv = np.einsum("sv,bvc->bsc", smplx2smpl, pv)
+            p_pel = np.asarray(persons[pi]["transl_pelvis"]).reshape(1, 1, 3)
+            g_pel = gt["j3d"][gi][:1][None]
+            meters["pve"].update(float(pve_fn(pv, gv, p_pel, g_pel)[0]))
+            meters["pa_pve"].update(float(pa_pve(pv, gv)[0]))
+            if J_regressor_h36m is not None:
+                pj = np.einsum("js,bsc->bjc", J_regressor_h36m, pv)[:, H36M_TO_J14]
+                gj = np.einsum("js,bsc->bjc", J_regressor_h36m, gv)[:, H36M_TO_J14]
+                meters["mpjpe"].update(
+                    float(
+                        1000
+                        * np.linalg.norm(
+                            (pj - pj[:, :1]) - (gj - gj[:, :1]), axis=-1
+                        ).mean()
+                    )
+                )
+                meters["pa_mpjpe"].update(float(pa_pve(pj, gj)[0]))
+        if log_every and (i + 1) % log_every == 0:
+            log_fn(
+                f"[{i+1}/{n}] pve={meters['pve'].avg:.1f} "
+                f"pa_pve={meters['pa_pve'].avg:.1f}"
+            )
+
+    precision, recall, f1 = compute_prf1(count, miss, fp)
+    results = {
+        "pve": meters["pve"].avg,
+        "pa_pve": meters["pa_pve"].avg,
+        "precision": precision,
+        "recall": recall,
+        "f1_score": f1,
+        "n_images": n,
+    }
+    if J_regressor_h36m is not None:
+        results["mpjpe"] = meters["mpjpe"].avg
+        results["pa_mpjpe"] = meters["pa_mpjpe"].avg
+    return results
