@@ -1,0 +1,74 @@
+"""Native C++ preprocessing library vs the Python reference path."""
+
+import os
+
+import numpy as np
+import pytest
+
+from multihmr_tpu.io import native
+
+pytestmark = pytest.mark.skipif(
+    not native.native_available(), reason="native library not built"
+)
+
+REF_IMAGES = "/root/reference/example_data"
+
+
+def _any_jpg():
+    files = [f for f in os.listdir(REF_IMAGES) if f.endswith(".jpg")]
+    return os.path.join(REF_IMAGES, files[0])
+
+
+def test_decode_matches_pil():
+    from PIL import Image
+
+    path = _any_jpg()
+    ours = native.decode_file(path)
+    ref = np.asarray(Image.open(path).convert("RGB"))
+    assert ours.shape == ref.shape
+    # JPEG decoders may differ by ±1-2 in IDCT rounding
+    assert np.mean(np.abs(ours.astype(int) - ref.astype(int))) < 1.5
+
+
+def test_preprocess_file_shape_and_range():
+    path = _any_jpg()
+    out = native.preprocess_file(path, 224)
+    assert out.shape == (224, 224, 3)
+    assert np.isfinite(out).all()
+    # normalized range
+    assert -3.0 < out.min() < out.max() < 3.5
+
+
+def test_preprocess_matches_python_path():
+    from multihmr_tpu.io.preprocessing import normalize_nhwc, resize_pad_numpy
+
+    path = _any_jpg()
+    raw = native.decode_file(path)
+    ours = native.preprocess_file(path, 128)
+    ref = normalize_nhwc(resize_pad_numpy(raw, 128))
+    # same resize convention (bilinear half-pixel) → should be close
+    assert np.abs(ours - ref).mean() < 0.05
+
+
+def test_native_loader_yields_all():
+    paths = sorted(
+        os.path.join(REF_IMAGES, f)
+        for f in os.listdir(REF_IMAGES)
+        if f.endswith(".jpg")
+    )
+    loader = native.NativeImageLoader(paths, img_size=96, n_threads=3)
+    seen = set()
+    for idx, arr in loader:
+        assert arr.shape == (96, 96, 3)
+        assert idx >= 0
+        seen.add(idx)
+    assert seen == set(range(len(paths)))
+    loader.close()
+
+
+def test_native_loader_bad_path():
+    loader = native.NativeImageLoader(["/nonexistent.jpg"], img_size=32)
+    items = list(loader)
+    assert len(items) == 1
+    assert items[0][0] == -1  # decode failure encoding
+    loader.close()
