@@ -105,10 +105,14 @@ def flash_attention(
     B, H, N, D = q.shape
     if scale is None:
         scale = D ** -0.5
-    # Pad the sequence to a lane-aligned length (ViT sequences are
-    # 1+grid^2 = 577/2305/4097/8465 — never aligned); padded keys are masked
-    # inside the kernel, padded query rows are sliced off afterwards.
-    Np = ((N + 127) // 128) * 128
+    # Pad the sequence so it divides into large MXU-friendly blocks (ViT
+    # sequences are 1+grid^2 = 577/2305/4097/8465 — never aligned, and e.g.
+    # 2305→2432=2^7·19 would force degenerate 128-blocks; padding to a
+    # multiple of the block target costs ≤10% extra compute and keeps the
+    # grid small). Padded keys are masked inside the kernel, padded query
+    # rows are sliced off afterwards.
+    pad_unit = min(block_q, block_kv) if N >= min(block_q, block_kv) else 128
+    Np = ((N + pad_unit - 1) // pad_unit) * pad_unit
     if Np != N:
         pad = [(0, 0), (0, 0), (0, Np - N), (0, 0)]
         q = jnp.pad(q, pad)

