@@ -1,0 +1,146 @@
+"""Interactive web demo — the analogue of reference app.py (Gradio HF-space).
+
+Serves single-image inference with overlay + downloadable .glb. Uses gradio
+when installed; otherwise falls back to a dependency-free stdlib HTTP server
+(POST an image, get the overlay PNG back), so the serving surface exists in
+every environment.
+
+Usage:
+    python -m multihmr_tpu.cli.app --model_name multiHMR_672_S [--ckpt ...] \
+        [--port 7860]
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import os
+import tempfile
+
+import numpy as np
+
+
+def build_infer(model_name: str, ckpt):
+    import jax
+    import jax.numpy as jnp
+
+    from multihmr_tpu.factory import build_model
+    from multihmr_tpu.io.preprocessing import (
+        get_camera_parameters,
+        normalize_nhwc,
+        rescale_K_to_original,
+    )
+    from multihmr_tpu.render import overlay_human_meshes, create_glb_scene
+
+    model, params = build_model(model_name, checkpoint=ckpt)
+    if params is None:
+        params = model.init_params(jax.random.PRNGKey(0))
+    faces = np.asarray(model.body_model.faces)
+    fwd_cache = {}
+
+    def infer(img: np.ndarray, det_thresh: float = 0.3, nms_kernel_size: int = 3,
+              fov: float = 60):
+        """img: HWC uint8. Returns (overlay uint8, glb bytes, n_persons)."""
+        from PIL import Image, ImageOps
+
+        pil = Image.fromarray(img).convert("RGB")
+        S = model.cfg.img_size
+        resized = ImageOps.pad(ImageOps.contain(pil, (S, S)), size=(S, S))
+        x = normalize_nhwc(np.asarray(resized))[None]
+        K = get_camera_parameters(S, fov=fov)
+        key = (det_thresh, nms_kernel_size)
+        if key not in fwd_cache:
+            fwd_cache[key] = jax.jit(
+                lambda p, x, K: model.forward(
+                    p, x, K, det_thresh=det_thresh, nms_kernel_size=nms_kernel_size
+                )
+            )
+        out = fwd_cache[key](params, jnp.asarray(x), jnp.asarray(K))
+        humans = model.extract_persons(out)[0]
+        K_full = rescale_K_to_original(K, pil.size[0], pil.size[1], S)
+        overlay, _ = overlay_human_meshes(humans, faces, K_full, pil)
+        glb = create_glb_scene(
+            [np.asarray(h["v3d"]) for h in humans], [faces] * len(humans)
+        )
+        return overlay, glb, len(humans)
+
+    return infer, model
+
+
+def serve_stdlib(infer, port: int):
+    """Minimal fallback server: POST image bytes to /infer → PNG overlay;
+    GET /health → JSON."""
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+    from PIL import Image
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path == "/health":
+                body = json.dumps({"status": "ok"}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_response(404)
+                self.end_headers()
+
+        def do_POST(self):
+            if self.path.startswith("/infer"):
+                n = int(self.headers.get("Content-Length", 0))
+                data = self.rfile.read(n)
+                img = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+                overlay, glb, count = infer(img)
+                buf = io.BytesIO()
+                Image.fromarray(overlay).save(buf, format="PNG")
+                self.send_response(200)
+                self.send_header("Content-Type", "image/png")
+                self.send_header("X-Person-Count", str(count))
+                self.end_headers()
+                self.wfile.write(buf.getvalue())
+            else:
+                self.send_response(404)
+                self.end_headers()
+
+    print(f"serving on http://0.0.0.0:{port} (POST /infer, GET /health)")
+    HTTPServer(("0.0.0.0", port), Handler).serve_forever()
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_name", type=str, default="multiHMR_672_S")
+    p.add_argument("--ckpt", type=str, default=None)
+    p.add_argument("--port", type=int, default=7860)
+    args = p.parse_args()
+
+    infer, model = build_infer(args.model_name, args.ckpt)
+    try:
+        import gradio as gr
+    except ImportError:
+        serve_stdlib(infer, args.port)
+        return
+
+    def gr_infer(img, det_thresh, nms, fov):
+        overlay, glb, count = infer(img, det_thresh, int(nms), fov)
+        glb_path = os.path.join(tempfile.mkdtemp(), "scene.glb")
+        with open(glb_path, "wb") as f:
+            f.write(glb)
+        return overlay, glb_path, f"{count} persons"
+
+    demo = gr.Interface(
+        fn=gr_infer,
+        inputs=[
+            gr.Image(type="numpy"),
+            gr.Slider(0.05, 0.9, value=0.3, label="detection threshold"),
+            gr.Slider(1, 7, value=3, step=2, label="NMS kernel"),
+            gr.Slider(30, 110, value=60, label="FOV"),
+        ],
+        outputs=[gr.Image(), gr.Model3D(), gr.Text()],
+        title=f"Multi-HMR TPU — {args.model_name}",
+    )
+    demo.launch(server_port=args.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,170 @@
+"""Training/eval CLI — the analogue of reference train.py:484-591.
+
+Usage:
+    python -m multihmr_tpu.cli.train --backbone dinov2_vitb14 --img_size 336 \
+        [--eval_only 1] [--pretrained ckpt.msgpack] ...
+
+Flags mirror the reference argparse surface (model/data/optim + loss weights
+via LossWeights fields).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+
+import numpy as np
+
+
+def build_argparser():
+    p = argparse.ArgumentParser()
+    # model (reference train.py:549-571)
+    p.add_argument("--backbone", type=str, default="dinov2_vitb14")
+    p.add_argument("--img_size", type=int, default=336)
+    p.add_argument("--xat_depth", type=int, default=2)
+    p.add_argument("--xat_num_heads", type=int, default=8)
+    p.add_argument("--person_center", type=str, default="head")
+    p.add_argument("--num_betas", type=int, default=10)
+    p.add_argument("--max_people", type=int, default=16)
+    # data
+    p.add_argument("--trainset", type=str, default="bedlam")
+    p.add_argument("--valset", type=str, default="ehf")
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--iter_per_epoch", type=int, default=1000)
+    p.add_argument("--n_epoch", type=int, default=100)
+    p.add_argument("--subsample", type=int, default=1)
+    # optim (reference train.py:514,570)
+    p.add_argument("--lr", type=float, default=5e-6)
+    # logging / ckpt
+    p.add_argument("--name", type=str, default="run")
+    p.add_argument("--logdir", type=str, default="logs")
+    p.add_argument("--ckptdir", type=str, default="ckpts")
+    p.add_argument("--nb_max_ckpt", type=int, default=3)
+    p.add_argument("--pretrained", type=str, default=None)
+    p.add_argument("--eval_only", type=int, default=0)
+    # loss weights (reference loss.py:117-141)
+    from multihmr_tpu.train.loss import LossWeights
+
+    for f in dataclasses.fields(LossWeights):
+        p.add_argument(f"--{f.name}", type=type(f.default), default=f.default)
+    return p
+
+
+def main():
+    args = build_argparser().parse_args()
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from multihmr_tpu.config import ModelConfig
+    from multihmr_tpu.factory import load_body_model
+    from multihmr_tpu.models.multihmr import MultiHMR
+    from multihmr_tpu.train.loss import LossWeights
+    from multihmr_tpu.train.trainer import Trainer
+    from multihmr_tpu.train.evaluate import evaluate_dataset
+    from multihmr_tpu.data.collate import collate_padded
+    from multihmr_tpu.utils.logging import MetricsLogger
+
+    cfg = ModelConfig(
+        backbone=args.backbone,
+        img_size=args.img_size,
+        xat_depth=args.xat_depth,
+        xat_num_heads=args.xat_num_heads,
+        person_center=args.person_center,
+        num_betas=args.num_betas,
+        max_people=args.max_people,
+    )
+    bm, real = load_body_model(cfg.num_betas)
+    if not real:
+        print("WARNING: SMPL-X assets not found — using the synthetic body model")
+    model = MultiHMR(cfg, bm)
+
+    if args.pretrained:
+        if args.pretrained.endswith(".msgpack"):
+            from multihmr_tpu.io.checkpoint import load_checkpoint
+
+            params, _ = load_checkpoint(
+                args.pretrained, model.init_params(jax.random.PRNGKey(0))
+            )
+        else:  # torch checkpoint
+            from multihmr_tpu.io.checkpoint import convert_torch_checkpoint
+
+            params = convert_torch_checkpoint(args.pretrained, cfg)
+    else:
+        params = model.init_params(jax.random.PRNGKey(0))
+
+    logger = MetricsLogger(args.logdir, args.name)
+    weights = LossWeights(
+        **{
+            f.name: getattr(args, f.name)
+            for f in dataclasses.fields(LossWeights)
+        }
+    )
+
+    def run_eval(params, epoch):
+        if args.valset == "ehf":
+            from multihmr_tpu.data.ehf import EHF
+
+            ds = EHF(img_size=cfg.img_size)
+            res = evaluate_dataset(model, params, ds)
+        elif args.valset == "3dpw":
+            from multihmr_tpu.data.threedpw import THREEDPW
+
+            ds = THREEDPW(img_size=cfg.img_size, subsample=args.subsample)
+            res = evaluate_dataset(model, params, ds)
+        else:
+            raise ValueError(args.valset)
+        logger.scalars(res, epoch, prefix=f"{args.valset}-test-{args.subsample}/")
+        print(f"eval[{args.valset}] epoch {epoch}: {res}")
+        return res
+
+    if args.eval_only:
+        run_eval(params, 0)
+        return
+
+    from multihmr_tpu.data.bedlam import BEDLAM
+
+    trainset = BEDLAM(
+        split="training", training=True, img_size=cfg.img_size,
+        n_iter=args.batch_size * args.iter_per_epoch,
+    )
+
+    def data_iter():
+        for start in range(0, len(trainset), args.batch_size):
+            samples = []
+            for i in range(start, min(start + args.batch_size, len(trainset))):
+                x, annot = trainset[i]
+                humans = annot["humans"]
+                samples.append(
+                    {
+                        "image": x,
+                        "K": annot["K"],
+                        "humans": [
+                            {
+                                "pose": np.concatenate(
+                                    [h["smplx_root_pose"], h["smplx_body_pose"],
+                                     h["smplx_left_hand_pose"], h["smplx_right_hand_pose"],
+                                     h["smplx_jaw_pose"]], 0),
+                                "shape": h["smplx_shape"][: cfg.num_betas],
+                                "transl": h["smplx_transl"],
+                            }
+                            for h in humans
+                        ],
+                    }
+                )
+            batch = collate_padded(samples, cfg.max_people)
+            yield {k: jnp.asarray(v) for k, v in batch.items()}
+
+    trainer = Trainer(
+        model,
+        optax.adam(args.lr),
+        weights=weights,
+        checkpoint_dir=os.path.join(args.ckptdir, args.name),
+        nb_max_ckpt=args.nb_max_ckpt,
+    )
+    trainer.fit(params, data_iter, epochs=args.n_epoch, eval_fn=run_eval)
+
+
+if __name__ == "__main__":
+    main()

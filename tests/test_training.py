@@ -1,0 +1,144 @@
+"""Training pipeline: collate → prepare_gt → train step (CPU, tiny model)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from multihmr_tpu.config import ModelConfig, ViTConfig
+from multihmr_tpu.bodymodel import synthetic_body_model
+from multihmr_tpu.models.multihmr import MultiHMR
+from multihmr_tpu.data.collate import collate_padded, resize_with_K
+from multihmr_tpu.train.trainer import prepare_gt, make_train_step
+from multihmr_tpu.train.loss import LossWeights
+
+TINY = ViTConfig(embed_dim=32, depth=2, num_heads=2)
+
+
+class TinyConfig(ModelConfig):
+    @property
+    def vit(self):
+        return TINY
+
+
+def make_model(max_people=4):
+    cfg = TinyConfig(
+        img_size=56, max_people=max_people, person_center="head",
+        compute_dtype="float32",
+    )
+    bm = synthetic_body_model(num_vertices=64, num_joints=55, num_extra=21, num_lmk=51)
+    return MultiHMR(cfg, bm)
+
+
+def synth_sample(rng, n_humans, img=56):
+    humans = []
+    for _ in range(n_humans):
+        humans.append(
+            {
+                "pose": rng.normal(scale=0.2, size=(53, 3)).astype(np.float32),
+                "shape": rng.normal(size=(10,)).astype(np.float32),
+                "transl": (rng.normal(scale=0.5, size=3) + [0, 0, 4]).astype(np.float32),
+            }
+        )
+    K = np.array([[100.0, 0, img / 2], [0, 100.0, img / 2], [0, 0, 1]], np.float32)
+    return {
+        "image": rng.normal(size=(img, img, 3)).astype(np.float32),
+        "K": K,
+        "humans": humans,
+    }
+
+
+def test_collate_padded(rng):
+    samples = [synth_sample(rng, 2), synth_sample(rng, 0), synth_sample(rng, 5)]
+    batch = collate_padded(samples, max_people=4)
+    assert batch["image"].shape == (3, 56, 56, 3)
+    assert batch["gt_pose"].shape == (3, 4, 53, 3)
+    np.testing.assert_array_equal(batch["gt_valid"].sum(1), [2, 0, 4])  # 5 capped at 4
+
+
+def test_resize_with_K(rng):
+    img = rng.integers(0, 255, size=(100, 200, 3), dtype=np.uint8)
+    K = np.array([[500.0, 0, 100], [0, 500, 50], [0, 0, 1]], np.float32)
+    out, K2 = resize_with_K(img, K, 64)
+    assert out.shape == (64, 64, 3)
+    # long side 200 → 64, ratio 0.32
+    np.testing.assert_allclose(K2[0, 0], 500 * 64 / 200, rtol=1e-5)
+    # principal point: scaled + pad offset on y ((64-32)//2 = 16)
+    np.testing.assert_allclose(K2[1, 2], 50 * 0.32 + 16, rtol=1e-4)
+
+
+def test_prepare_gt_targets(rng):
+    model = make_model()
+    cfg = model.cfg
+    B, Kh = 2, 4
+    pose = jnp.asarray(rng.normal(scale=0.2, size=(B, Kh, 53, 3)).astype(np.float32))
+    shape = jnp.asarray(rng.normal(size=(B, Kh, 10)).astype(np.float32))
+    transl = jnp.asarray(
+        (rng.normal(scale=0.3, size=(B, Kh, 3)) + [0, 0, 4]).astype(np.float32)
+    )
+    valid = jnp.asarray([[1, 1, 1, 0], [1, 0, 0, 0]], jnp.float32)
+    K = jnp.broadcast_to(
+        jnp.asarray([[100.0, 0, 28], [0, 100, 28], [0, 0, 1]], jnp.float32), (B, 3, 3)
+    )
+    gt = prepare_gt(
+        model.body_model, pose, shape, transl, valid, K,
+        img_size=cfg.img_size, patch_size=cfg.patch_size, person_center="head",
+    )
+    g = cfg.grid_size
+    assert gt["scores"].shape == (B, g, g)
+    # heatmap cells equal the number of visible humans
+    assert float(gt["scores"].sum()) == float(gt["valid"].sum())
+    # collision dropping can only reduce validity
+    assert np.all(np.asarray(gt["valid"]) <= np.asarray(valid))
+    # dist is the pelvis z
+    np.testing.assert_allclose(
+        np.asarray(gt["dist"])[..., 0], np.asarray(gt["j3d"])[:, :, 0, 2], atol=1e-5
+    )
+    # offsets bounded by half a patch
+    vis = np.asarray(gt["valid"]) > 0
+    assert np.all(np.abs(np.asarray(gt["offset"])[vis]) <= 0.5 + 1e-5)
+
+
+def test_prepare_gt_collision_drop():
+    model = make_model()
+    B, Kh = 1, 3
+    # two identical people → same heatmap cell → second dropped
+    pose = jnp.zeros((B, Kh, 53, 3))
+    shape = jnp.zeros((B, Kh, 10))
+    transl = jnp.asarray([[[0, 0, 4.0], [0, 0, 4.0], [1.5, 0, 4.0]]], jnp.float32)
+    valid = jnp.ones((B, Kh))
+    K = jnp.asarray([[[100.0, 0, 28], [0, 100, 28], [0, 0, 1]]], jnp.float32)
+    gt = prepare_gt(
+        model.body_model, pose, shape, transl, valid, K,
+        img_size=56, patch_size=14, person_center="head",
+    )
+    np.testing.assert_array_equal(np.asarray(gt["valid"])[0], [1, 0, 1])
+
+
+def test_train_step_decreases_loss(rng):
+    model = make_model()
+    params = model.init_params(jax.random.PRNGKey(0))
+    optimizer = optax.adam(1e-4)
+    opt_state = optimizer.init(params)
+    step = make_train_step(model, optimizer, LossWeights(), donate=False)
+
+    B, Kh = 2, 4
+    batch = {
+        "image": jnp.asarray(rng.normal(size=(B, 56, 56, 3)).astype(np.float32)),
+        "K": jnp.broadcast_to(
+            jnp.asarray([[100.0, 0, 28], [0, 100, 28], [0, 0, 1]], jnp.float32),
+            (B, 3, 3),
+        ),
+        "gt_pose": jnp.asarray(rng.normal(scale=0.2, size=(B, Kh, 53, 3)).astype(np.float32)),
+        "gt_shape": jnp.asarray(rng.normal(size=(B, Kh, 10)).astype(np.float32)),
+        "gt_transl": jnp.asarray(
+            (rng.normal(scale=0.3, size=(B, Kh, 3)) + [0, 0, 4]).astype(np.float32)
+        ),
+        "gt_valid": jnp.asarray([[1, 1, 0, 0], [1, 0, 0, 0]], jnp.float32),
+    }
+    losses = []
+    for i in range(5):
+        params, opt_state, terms = step(params, opt_state, batch, 0)
+        losses.append(float(terms["total"]))
+        assert np.isfinite(losses[-1])
+    assert losses[-1] < losses[0], losses
