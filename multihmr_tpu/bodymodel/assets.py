@@ -195,6 +195,20 @@ def synthetic_body_model(
     )
 
 
+def load_smplx2smpl(path: str) -> np.ndarray:
+    """Load the 10475→6890 vertex regressor used for 3DPW eval (reference
+    train.py:44-45, asset ``smplx2smpl.pkl`` with a scipy-sparse 'matrix')."""
+    with open(path, "rb") as f:
+        data = _TolerantUnpickler(f, encoding="latin1").load()
+    m = data["matrix"] if isinstance(data, dict) else data
+    return _to_np(m).astype(np.float32)
+
+
+def load_j_regressor_h36m(path: str) -> np.ndarray:
+    """Load ``J_regressor_h36m.npy`` [17, 6890] (reference train.py:400)."""
+    return np.load(path).astype(np.float32)
+
+
 def load_mean_params(path: Optional[str], nrot: int = 53, num_betas: int = 10):
     """Load ``smpl_mean_params.npz`` (reference model.py:440-477) or fall
     back to neutral defaults. Returns dict with 6d ``pose [1, nrot*6]``,

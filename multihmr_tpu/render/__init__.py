@@ -7,3 +7,8 @@ from multihmr_tpu.render.render import (  # noqa: F401
     get_bbox,
 )
 from multihmr_tpu.render.color import demo_color  # noqa: F401
+from multihmr_tpu.render.views import (  # noqa: F401
+    render_side_views,
+    create_rotating_video,
+    render_view_from_angle,
+)

@@ -65,7 +65,6 @@ def _rasterize(
     ok = (
         (triz > 1e-6).all(1)
         & (xmax >= 0) & (xmin < width) & (ymax >= 0) & (ymin < height)
-        & (xmax - xmin < width) & (ymax - ymin < height)
     )
     order = np.argsort(-triz[ok].mean(1))  # far-to-near (z-buffer resolves rest)
     idxs = np.nonzero(ok)[0][order]
