@@ -92,22 +92,41 @@ def convert_torch_checkpoint(ckpt_or_path, cfg: ModelConfig) -> dict:
         ),
         "norm": {"scale": sd[bb + "norm.weight"], "bias": sd[bb + "norm.bias"]},
     }
-    for i in range(vit.depth):
-        b = f"{bb}blocks.{i}."
-        backbone[f"block{i}"] = {
-            "norm1": {"scale": sd[b + "norm1.weight"], "bias": sd[b + "norm1.bias"]},
+    # scanned blocks: per-layer torch weights stacked on a leading depth axis
+    def stacked(fmt, transpose=False):
+        arrs = [sd[f"{bb}blocks.{i}.{fmt}"] for i in range(vit.depth)]
+        if transpose:
+            arrs = [_t(a) for a in arrs]
+        return np.stack(arrs, axis=0)
+
+    backbone["blocks"] = {
+        "block": {
+            "norm1": {"scale": stacked("norm1.weight"), "bias": stacked("norm1.bias")},
             "attn": {
-                "qkv": {"kernel": _t(sd[b + "attn.qkv.weight"]), "bias": sd[b + "attn.qkv.bias"]},
-                "proj": {"kernel": _t(sd[b + "attn.proj.weight"]), "bias": sd[b + "attn.proj.bias"]},
+                "qkv": {
+                    "kernel": stacked("attn.qkv.weight", True),
+                    "bias": stacked("attn.qkv.bias"),
+                },
+                "proj": {
+                    "kernel": stacked("attn.proj.weight", True),
+                    "bias": stacked("attn.proj.bias"),
+                },
             },
-            "ls1": {"gamma": sd[b + "ls1.gamma"]},
-            "norm2": {"scale": sd[b + "norm2.weight"], "bias": sd[b + "norm2.bias"]},
+            "ls1": {"gamma": stacked("ls1.gamma")},
+            "norm2": {"scale": stacked("norm2.weight"), "bias": stacked("norm2.bias")},
             "mlp": {
-                "fc1": {"kernel": _t(sd[b + "mlp.fc1.weight"]), "bias": sd[b + "mlp.fc1.bias"]},
-                "fc2": {"kernel": _t(sd[b + "mlp.fc2.weight"]), "bias": sd[b + "mlp.fc2.bias"]},
+                "fc1": {
+                    "kernel": stacked("mlp.fc1.weight", True),
+                    "bias": stacked("mlp.fc1.bias"),
+                },
+                "fc2": {
+                    "kernel": stacked("mlp.fc2.weight", True),
+                    "bias": stacked("mlp.fc2.bias"),
+                },
             },
-            "ls2": {"gamma": sd[b + "ls2.gamma"]},
+            "ls2": {"gamma": stacked("ls2.gamma")},
         }
+    }
     p["backbone"] = backbone
 
     # ---- detection / offset MLPs (Sequential Linear-ReLU-Linear) ----

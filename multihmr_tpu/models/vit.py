@@ -83,7 +83,7 @@ class Block(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, _scan_unused=None):
         c = self.cfg
         # LayerNorms run in fp32 for stability, outputs cast back to bf16.
         y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
@@ -96,7 +96,27 @@ class Block(nn.Module):
             y.astype(self.dtype)
         )
         x = x + LayerScale(c.embed_dim, c.layerscale_init, self.dtype, name="ls2")(y)
-        return x
+        return x, None
+
+
+class ScannedBlocks(nn.Module):
+    """``depth`` transformer blocks under ``nn.scan``: ONE compiled block
+    body instead of ``depth`` separate ones. Cuts XLA compile time ~depth-fold
+    for ViT-L (24 blocks) — params are stacked with a leading depth axis
+    (the checkpoint converter stacks per-layer torch weights accordingly)."""
+
+    cfg: ViTConfig
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, tokens):
+        scan = nn.scan(
+            Block,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=self.cfg.depth,
+        )
+        return scan(self.cfg, self.dtype, name="block")(tokens, None)[0]
 
 
 class DINOv2ViT(nn.Module):
@@ -110,6 +130,7 @@ class DINOv2ViT(nn.Module):
     cfg: ViTConfig
     grid_size: int
     dtype: Any = jnp.bfloat16
+    scan_blocks: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -140,8 +161,11 @@ class DINOv2ViT(nn.Module):
         )
         tokens = tokens + pos.astype(self.dtype)
 
-        for i in range(c.depth):
-            tokens = Block(c, self.dtype, name=f"block{i}")(tokens)
+        if self.scan_blocks:
+            tokens = ScannedBlocks(c, self.dtype, name="blocks")(tokens)
+        else:
+            for i in range(c.depth):
+                tokens = Block(c, self.dtype, name=f"block{i}")(tokens)[0]
 
         tokens = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(tokens)
         return {

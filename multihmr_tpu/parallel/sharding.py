@@ -47,7 +47,8 @@ def make_mesh(
 
 
 # Megatron-style ViT tensor-parallel rules, matched against flax param paths
-# like "backbone/block3/attn/qkv/kernel".
+# like "backbone/blocks/block/attn/qkv/kernel". The spec is given for the
+# trailing (non-stacked) dims; a leading scan/depth axis is padded with None.
 _TP_RULES = [
     (re.compile(r"backbone/.*attn/qkv/kernel$"), P(None, "model")),
     (re.compile(r"backbone/.*attn/qkv/bias$"), P("model")),
@@ -61,6 +62,9 @@ _TP_RULES = [
 def _spec_for(path: str, leaf) -> P:
     for rule, spec in _TP_RULES:
         if rule.search(path):
+            extra = getattr(leaf, "ndim", len(spec)) - len(spec)
+            if extra > 0:  # stacked scan axis in front
+                return P(*([None] * extra + list(spec)))
             return spec
     return P()  # replicated
 

@@ -21,17 +21,20 @@ def test_make_mesh_shapes():
 
 def test_param_sharding_rules():
     mesh = make_mesh(8, model_parallel=2)
+    D = 2  # stacked depth axis (scan-over-layers)
     fake = {
         "params": {
             "backbone": {
-                "block0": {
-                    "attn": {
-                        "qkv": {"kernel": np.zeros((4, 12)), "bias": np.zeros(12)},
-                        "proj": {"kernel": np.zeros((12, 4)), "bias": np.zeros(4)},
-                    },
-                    "mlp": {
-                        "fc1": {"kernel": np.zeros((4, 16)), "bias": np.zeros(16)},
-                        "fc2": {"kernel": np.zeros((16, 4)), "bias": np.zeros(4)},
+                "blocks": {
+                    "block": {
+                        "attn": {
+                            "qkv": {"kernel": np.zeros((D, 4, 12)), "bias": np.zeros((D, 12))},
+                            "proj": {"kernel": np.zeros((D, 12, 4)), "bias": np.zeros((D, 4))},
+                        },
+                        "mlp": {
+                            "fc1": {"kernel": np.zeros((D, 4, 16)), "bias": np.zeros((D, 16))},
+                            "fc2": {"kernel": np.zeros((D, 16, 4)), "bias": np.zeros((D, 4))},
+                        },
                     },
                 },
                 "pos_embed": np.zeros((1, 5, 4)),
@@ -40,13 +43,13 @@ def test_param_sharding_rules():
         }
     }
     sh = param_shardings(mesh, fake)
-    blk = sh["params"]["backbone"]["block0"]
-    assert blk["attn"]["qkv"]["kernel"].spec == P(None, "model")
-    assert blk["attn"]["qkv"]["bias"].spec == P("model")
-    assert blk["attn"]["proj"]["kernel"].spec == P("model", None)
+    blk = sh["params"]["backbone"]["blocks"]["block"]
+    assert blk["attn"]["qkv"]["kernel"].spec == P(None, None, "model")
+    assert blk["attn"]["qkv"]["bias"].spec == P(None, "model")
+    assert blk["attn"]["proj"]["kernel"].spec == P(None, "model", None)
     assert blk["attn"]["proj"]["bias"].spec == P()
-    assert blk["mlp"]["fc1"]["kernel"].spec == P(None, "model")
-    assert blk["mlp"]["fc2"]["kernel"].spec == P("model", None)
+    assert blk["mlp"]["fc1"]["kernel"].spec == P(None, None, "model")
+    assert blk["mlp"]["fc2"]["kernel"].spec == P(None, "model", None)
     assert sh["params"]["backbone"]["pos_embed"].spec == P()
     assert sh["params"]["mlp_classif"]["fc0"]["kernel"].spec == P()
 
