@@ -196,6 +196,110 @@ def convert_torch_checkpoint(ckpt_or_path, cfg: ModelConfig) -> dict:
     return {"params": params}
 
 
+def convert_torch_checkpoint_anny(ckpt_or_path, cfg) -> dict:
+    """Convert an Anny-variant checkpoint (``multiHMR_*_anny``; reference
+    multi_hmr_anny/multi_hmr.py naming) to flax params for
+    :class:`~multihmr_tpu.models.multihmr_anny.MultiHMRAnnyNet`."""
+    if isinstance(ckpt_or_path, (str, os.PathLike)):
+        import torch
+
+        ckpt = torch.load(ckpt_or_path, map_location="cpu", weights_only=False)
+    else:
+        ckpt = ckpt_or_path
+    sd = ckpt.get("model_state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+    sd = {
+        k: (v.numpy() if hasattr(v, "numpy") else np.asarray(v))
+        for k, v in sd.items()
+        if not k.startswith("body_model")
+    }
+    vit = cfg.vit
+    g = cfg.grid_size
+    bb = "encoder.backbone."
+    pe_w = sd[bb + "patch_embed.proj.weight"]
+
+    def stacked(fmt, transpose=False):
+        arrs = [sd[f"{bb}blocks.{i}.{fmt}"] for i in range(vit.depth)]
+        if transpose:
+            arrs = [_t(a) for a in arrs]
+        return np.stack(arrs, axis=0)
+
+    def seq_mlp(prefix):
+        return {
+            "fc0": {"kernel": _t(sd[f"{prefix}.0.weight"]), "bias": sd[f"{prefix}.0.bias"]},
+            "fc1": {"kernel": _t(sd[f"{prefix}.2.weight"]), "bias": sd[f"{prefix}.2.bias"]},
+        }
+
+    encoder = {
+        "backbone": {
+            "patch_embed": {
+                "kernel": pe_w.transpose(2, 3, 1, 0).reshape(-1, vit.embed_dim),
+                "bias": sd[bb + "patch_embed.proj.bias"],
+            },
+            "cls_token": sd[bb + "cls_token"].reshape(1, 1, vit.embed_dim),
+            "pos_embed": interpolate_dinov2_pos_embed(
+                sd[bb + "pos_embed"].astype(np.float32), g
+            ),
+            "norm": {"scale": sd[bb + "norm.weight"], "bias": sd[bb + "norm.bias"]},
+            "blocks": {
+                "block": {
+                    "norm1": {"scale": stacked("norm1.weight"), "bias": stacked("norm1.bias")},
+                    "attn": {
+                        "qkv": {"kernel": stacked("attn.qkv.weight", True), "bias": stacked("attn.qkv.bias")},
+                        "proj": {"kernel": stacked("attn.proj.weight", True), "bias": stacked("attn.proj.bias")},
+                    },
+                    "ls1": {"gamma": stacked("ls1.gamma")},
+                    "norm2": {"scale": stacked("norm2.weight"), "bias": stacked("norm2.bias")},
+                    "mlp": {
+                        "fc1": {"kernel": stacked("mlp.fc1.weight", True), "bias": stacked("mlp.fc1.bias")},
+                        "fc2": {"kernel": stacked("mlp.fc2.weight", True), "bias": stacked("mlp.fc2.bias")},
+                    },
+                    "ls2": {"gamma": stacked("ls2.gamma")},
+                }
+            },
+        },
+        "mlp_det": seq_mlp("encoder.mlp_det"),
+        "mlp_fov_unique": seq_mlp("encoder.mlp_fov_unique"),
+    }
+    decoder = {}
+    for i in range(cfg.xat_depth):
+        layer = f"decoder.transformer.layers.{i}."
+        for j, tag in [(0, "sa"), (1, "ca"), (2, "ff")]:
+            decoder[f"{tag}_norm{i}"] = {
+                "scale": sd[layer + f"{j}.norm.weight"],
+                "bias": sd[layer + f"{j}.norm.bias"],
+            }
+        decoder[f"sa{i}"] = {
+            "to_qkv": {"kernel": _t(sd[layer + "0.fn.to_qkv.weight"])},
+            "to_out": {"kernel": _t(sd[layer + "0.fn.to_out.0.weight"]), "bias": sd[layer + "0.fn.to_out.0.bias"]},
+        }
+        decoder[f"ca{i}"] = {
+            "to_kv": {"kernel": _t(sd[layer + "1.fn.to_kv.weight"])},
+            "to_q": {"kernel": _t(sd[layer + "1.fn.to_q.weight"])},
+            "to_out": {"kernel": _t(sd[layer + "1.fn.to_out.0.weight"]), "bias": sd[layer + "1.fn.to_out.0.bias"]},
+        }
+        decoder[f"ff{i}"] = {
+            "fc1": {"kernel": _t(sd[layer + "2.fn.net.0.weight"]), "bias": sd[layer + "2.fn.net.0.bias"]},
+            "fc2": {"kernel": _t(sd[layer + "2.fn.net.3.weight"]), "bias": sd[layer + "2.fn.net.3.bias"]},
+        }
+    p = {
+        "encoder": encoder,
+        "dec_to_token": {"kernel": _t(sd["dec_to_token.weight"]), "bias": sd["dec_to_token.bias"]},
+        "decoder": decoder,
+        "mlp_offset": seq_mlp("mlp_offset"),
+        "mlp_pose": seq_mlp("mlp_pose"),
+        "mlp_shape": seq_mlp("mlp_shape"),
+        "mlp_dist": seq_mlp("mlp_dist"),
+    }
+    params = jax.tree_util.tree_map(lambda a: jnp.asarray(np.asarray(a), jnp.float32), p)
+    constants = {
+        "dec_pos_emb": jnp.asarray(sd["dec_pos_emb"], jnp.float32).reshape(
+            g, g, -1
+        ),
+        "init_body_pose": jnp.asarray(sd["init_body_pose"], jnp.float32),
+    }
+    return {"params": params, "constants": constants}
+
+
 # ---------------- native checkpoints ----------------
 
 def save_checkpoint(ckpt_dir: str, params, epoch: int, cfg: ModelConfig):
