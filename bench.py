@@ -11,11 +11,18 @@ the same way a production pipeline amortizes dispatch.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 import jax
+
+# Persistent compilation cache: the flagship program is large and the remote
+# TPU compile is slow — cache hits make reruns start in seconds.
+jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 
 from multihmr_tpu.factory import build_model

@@ -25,6 +25,50 @@ from multihmr_tpu.ops.camera import perspective_projection
 from multihmr_tpu.bodymodel.constants import H36M_TO_J14
 
 
+def make_smplx_gt_forward(body_model, num_betas: int = 11):
+    """GT forward for datasets that store SMPL-X parameters (BEDLAM):
+    annot['humans'] entries with smplx_* keys → v3d/j3d/j2d dict.
+    The jit'd body-model forward is shared with the training path."""
+    import functools
+
+    from multihmr_tpu.bodymodel.core import lbs_forward
+    from multihmr_tpu.ops.rotations import rotvec_to_rotmat
+
+    @functools.lru_cache(maxsize=4)
+    def _fwd_for(n):
+        @jax.jit
+        def f(pose, shape, transl, K):
+            rots = rotvec_to_rotmat(pose)
+            out = lbs_forward(body_model, rots, shape)
+            v3d = out["vertices"] + transl[:, None]
+            j3d = out["joints"] + transl[:, None]
+            j2d = perspective_projection(j3d, K[None])
+            return v3d, j3d, j2d
+
+        return f
+
+    def gt_forward(annot):
+        humans = annot["humans"]
+        pose = np.stack(
+            [
+                np.concatenate(
+                    [h["smplx_root_pose"], h["smplx_body_pose"], h["smplx_jaw_pose"],
+                     h["smplx_leye_pose"], h["smplx_reye_pose"],
+                     h["smplx_left_hand_pose"], h["smplx_right_hand_pose"]], 0)
+                for h in humans
+            ]
+        )
+        shape = np.stack([h["smplx_shape"][:num_betas] for h in humans])
+        transl = np.stack([h["smplx_transl"] for h in humans])
+        v3d, j3d, j2d = _fwd_for(len(humans))(
+            jnp.asarray(pose), jnp.asarray(shape), jnp.asarray(transl),
+            jnp.asarray(annot["K"]),
+        )
+        return {"v3d": np.asarray(v3d), "j3d": np.asarray(j3d), "j2d": np.asarray(j2d)}
+
+    return gt_forward
+
+
 def evaluate_dataset(
     model,
     params,
@@ -82,8 +126,10 @@ def evaluate_dataset(
             miss += n_gt
             continue
 
-        pred_j2d = [np.asarray(p["j2d"]) for p in persons]
-        valid_mask = [np.ones(gt["j2d"].shape[1], bool)] * n_gt
+        # predictions truncated to the GT joint count (reference train.py:361)
+        n_j = gt["j2d"].shape[1]
+        pred_j2d = [np.asarray(p["j2d"])[:n_j] for p in persons]
+        valid_mask = [np.ones(n_j, bool)] * n_gt
         best, fps, misses = match_2d_greedy(pred_j2d, list(gt["j2d"]), valid_mask)
         fp += len(fps)
         miss += len(misses)

@@ -1,0 +1,72 @@
+"""End-to-end eval harness: model evaluated against its own predictions must
+score ~0 mm PVE with perfect PRF1 — exercises matching, metrics, and the
+EHF-style vertex-GT path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from multihmr_tpu.config import ModelConfig, ViTConfig
+from multihmr_tpu.bodymodel import synthetic_body_model
+from multihmr_tpu.models.multihmr import MultiHMR
+from multihmr_tpu.train.evaluate import evaluate_dataset
+
+TINY = ViTConfig(embed_dim=32, depth=2, num_heads=2)
+
+
+class TinyConfig(ModelConfig):
+    @property
+    def vit(self):
+        return TINY
+
+
+class SelfDataset:
+    """Dataset whose GT is the model's own output on random images."""
+
+    def __init__(self, model, params, n=3, thresh=0.3):
+        self.items = []
+        K = np.array([[100.0, 0, 28], [0, 100.0, 28], [0, 0, 1]], np.float32)
+        i = 0
+        seed = 0
+        while len(self.items) < n and seed < 30:
+            x = np.asarray(
+                jax.random.normal(jax.random.PRNGKey(seed), (1, 56, 56, 3)),
+                np.float32,
+            )
+            seed += 1
+            out = model.forward(params, jnp.asarray(x), jnp.asarray(K[None]), det_thresh=thresh)
+            persons = model.extract_persons(out)[0]
+            if not persons:
+                continue
+            verts = np.stack([np.asarray(p["v3d"]) for p in persons])
+            self.items.append(
+                (x[0], {"K": K, "humans": [{"smplx_vertices": v} for v in verts]})
+            )
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i):
+        return self.items[i]
+
+
+def test_evaluate_self_consistency():
+    cfg = TinyConfig(img_size=56, max_people=4, person_center="j5", compute_dtype="float32")
+    bm = synthetic_body_model()
+    names = [f"j{i}" for i in range(bm.num_output_joints)]
+    model = MultiHMR(cfg, bm, person_center_joint_names=names)
+    params = model.init_params(jax.random.PRNGKey(0))
+    ds = SelfDataset(model, params, n=2)
+    if len(ds) == 0:
+        import pytest
+
+        pytest.skip("random init produced no detections")
+    res = evaluate_dataset(model, params, ds, det_thresh=0.3, log_every=0)
+    # PA-PVE is translation/rotation invariant → identical meshes score ~0.
+    # (Plain PVE is pelvis-centered with the GT pelvis regressed from
+    # vertices; the synthetic J_regressor is only approximate, so PVE
+    # carries that offset — with real SMPL-X assets both go to ~0.)
+    assert res["pa_pve"] < 1.0
+    assert np.isfinite(res["pve"])
+    assert res["recall"] == 100.0
+    assert res["precision"] == 100.0
