@@ -143,15 +143,15 @@ def lbs_forward(
     dtype = rotmats.dtype
     nb = betas.shape[-1]
 
-    # --- shape & expression blendshapes ---
-    v_shaped = model.v_template + _EINSUM(
-        "bl,vcl->bvc", betas, model.shapedirs[..., :nb]
-    )
+    # --- shape & expression blendshapes (as [B, L] x [L, V*3] matmuls:
+    # big lane dimension, no sub-tile trailing axes) ---
+    V = model.num_vertices
+    sd = model.shapedirs[..., :nb].reshape(V * 3, nb)
+    v_shaped = model.v_template + _EINSUM("bl,vl->bv", betas, sd).reshape(B, V, 3)
     if expression is not None and model.exprdirs.shape[-1] > 0:
         ne = expression.shape[-1]
-        v_shaped = v_shaped + _EINSUM(
-            "bl,vcl->bvc", expression, model.exprdirs[..., :ne]
-        )
+        ed = model.exprdirs[..., :ne].reshape(V * 3, ne)
+        v_shaped = v_shaped + _EINSUM("bl,vl->bv", expression, ed).reshape(B, V, 3)
 
     # --- rest-pose joints ---
     joints_rest = _EINSUM("jv,bvc->bjc", model.J_regressor, v_shaped)
@@ -168,11 +168,22 @@ def lbs_forward(
         rotmats, joints_rest, model.parents
     )
 
-    # --- linear blend skinning: blend (R, t) separately — two einsums, no
-    # 4x4 homogeneous padding ---
-    T_R = _EINSUM("vj,bjmn->bvmn", model.lbs_weights, world_R)  # [B, V, 3, 3]
-    T_t = _EINSUM("vj,bjm->bvm", model.lbs_weights, rel_t)  # [B, V, 3]
-    verts = _EINSUM("bvmn,bvn->bvm", T_R, v_posed) + T_t
+    # --- linear blend skinning, TPU layout: keep the 10k-vertex axis LAST
+    # (lane dimension) so XLA tiles [.., V] instead of padding sub-tile
+    # [V, 3, 3] trailing dims. Blend the 12 transform entries with ONE
+    # [B*12, J] x [J, V] MXU matmul, then contract the 3x3 per-vertex
+    # rotation on the VPU (3 fused multiply-adds over the lane axis).
+    A = jnp.concatenate(
+        [world_R.reshape(B, -1, 9), rel_t], axis=-1
+    )  # [B, J, 12]
+    T = _EINSUM("bjp,vj->bpv", A, model.lbs_weights)  # [B, 12, V]
+    vp = v_posed.transpose(0, 2, 1)  # [B, 3, V]
+    out_rows = [
+        T[:, 3 * m + 0] * vp[:, 0] + T[:, 3 * m + 1] * vp[:, 1]
+        + T[:, 3 * m + 2] * vp[:, 2] + T[:, 9 + m]
+        for m in range(3)
+    ]
+    verts = jnp.stack(out_rows, axis=-1)  # [B, V, 3]
 
     # --- output joint set (smplx layout) ---
     out_joints = [posed_joints]
