@@ -45,14 +45,12 @@ def main():
         (1, 3, 3),
     )
 
-    def one(x):
-        out = model.forward(params, x, K, det_thresh=0.3, nms_kernel_size=3)
-        return out
-
+    # NOTE: params must be a jit ARGUMENT — closing over them would inline
+    # ~1.2 GB of constants into the program and blow up compile time.
     @jax.jit
-    def chained(x):
+    def chained(params, x):
         def body(carry, _):
-            out = one(carry)
+            out = model.forward(params, carry, K, det_thresh=0.3, nms_kernel_size=3)
             # feed a scalar of the output back into the next input so the
             # compiler cannot overlap-eliminate iterations
             feedback = jnp.sum(out["v3d"]) * 1e-12
@@ -60,11 +58,11 @@ def main():
         final, _ = jax.lax.scan(body, x, None, length=ITERS)
         return jnp.sum(final)
 
-    _ = float(chained(x))  # compile + warmup
+    _ = float(chained(params, x))  # compile + warmup
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
-        float(chained(x))
+        float(chained(params, x))
         times.append((time.perf_counter() - t0) / ITERS)
     # subtract the measured readback latency using an empty-ish program
     @jax.jit

@@ -107,19 +107,18 @@ def flash_attention(
         scale = D ** -0.5
     # Pad the sequence so it divides into large MXU-friendly blocks (ViT
     # sequences are 1+grid^2 = 577/2305/4097/8465 — never aligned, and e.g.
-    # 2305→2432=2^7·19 would force degenerate 128-blocks; padding to a
-    # multiple of the block target costs ≤10% extra compute and keeps the
-    # grid small). Padded keys are masked inside the kernel, padded query
-    # rows are sliced off afterwards.
-    pad_unit = min(block_q, block_kv) if N >= min(block_q, block_kv) else 128
-    Np = ((N + pad_unit - 1) // pad_unit) * pad_unit
+    # 2305→2432=2^7·19 would force degenerate 128-blocks). Choose the
+    # SMALLEST lane-aligned padded length admitting a ≥256 block: attention
+    # FLOPs scale with Np², so 4097→4224 (+6%, 384-blocks) beats 4097→4608
+    # (+26%, 512-blocks). Padded keys are masked inside the kernel, padded
+    # query rows are sliced off afterwards.
+    Np, blk = _pad_and_block(N, max(block_q, block_kv))
     if Np != N:
         pad = [(0, 0), (0, 0), (0, Np - N), (0, 0)]
         q = jnp.pad(q, pad)
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
-    bq = _pick_block(Np, block_q)
-    bkv = _pick_block(Np, block_kv)
+    bq = bkv = blk
     kv_steps = Np // bkv
 
     qf = q.reshape(B * H, Np, D)
@@ -151,6 +150,22 @@ def flash_attention(
     )(qf, kf, vf)
     out = out.reshape(B, H, Np, D)
     return out[:, :, :N] if Np != N else out
+
+
+def _pad_and_block(n: int, target: int) -> tuple[int, int]:
+    """(padded_length, block): smallest 128-multiple ≥ n that has a divisor
+    block with 256 ≤ block ≤ target and block % 128 == 0. Minimizes the Np²
+    attention-FLOP overhead while keeping MXU-sized tiles."""
+    if n <= 256:
+        return ((n + 127) // 128) * 128 or 128, min(((n + 127) // 128) * 128, 256)
+    np_cap = ((n + target - 1) // target) * target  # always valid fallback
+    cand = ((n + 127) // 128) * 128
+    while cand <= np_cap:
+        for b in range(min(target, cand), 255, -128):
+            if b % 128 == 0 and cand % b == 0:
+                return cand, b
+        cand += 128
+    return np_cap, target
 
 
 def _pick_block(n: int, target: int) -> int:

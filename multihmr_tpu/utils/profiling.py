@@ -69,15 +69,31 @@ def latency_stats(
 ) -> Dict[str, float]:
     """Amortized per-call latency of ``fn(*args)`` (a jax-traceable function
     returning a pytree): chains ``iters`` dependent calls in one jit and
-    divides, avoiding host round-trip pollution."""
+    divides, avoiding host round-trip pollution.
+
+    IMPORTANT:
+      * pass model parameters inside ``args`` — a closure over a large param
+        tree inlines it as constants into the program and makes compilation
+        pathological (gigabytes of literals for ViT-L);
+      * iterations are made data-DEPENDENT (each call's input is perturbed by
+        the previous call's output) so XLA cannot hoist the loop-invariant
+        body and compute it once — without this the reported latency is
+        iters× too small."""
+    # perturb the last float-dtype array argument with the running feedback
+    perturb_idx = max(
+        i for i, a in enumerate(args)
+        if hasattr(a, "dtype") and jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+    )
 
     @jax.jit
     def chained(*args):
-        def body(acc, _):
-            out = fn(*args)
+        def body(carry, _):
+            cur = list(args)
+            cur[perturb_idx] = cur[perturb_idx] + carry * 1e-12
+            out = fn(*cur)
             leaves = jax.tree_util.tree_leaves(out)
             s = sum(jnp.sum(l.astype(jnp.float32)) for l in leaves if hasattr(l, "astype"))
-            return acc + s * 1e-12, None
+            return carry + s * 1e-12, None
         acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
         return acc
 
