@@ -85,7 +85,8 @@ def _flash_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_q", "block_kv", "scale", "interpret")
+    jax.jit,
+    static_argnames=("block_q", "block_kv", "scale", "interpret", "pad_to"),
 )
 def flash_attention(
     q: jax.Array,
@@ -95,6 +96,7 @@ def flash_attention(
     block_q: int = 512,
     block_kv: int = 512,
     interpret: bool = False,
+    pad_to: int | None = None,
 ) -> jax.Array:
     """Pallas TPU flash attention, ``[B, H, N, Dh]`` → ``[B, H, N, Dh]``.
 
@@ -112,13 +114,27 @@ def flash_attention(
     # FLOPs scale with Np², so 4097→4224 (+6%, 384-blocks) beats 4097→4608
     # (+26%, 512-blocks). Padded keys are masked inside the kernel, padded
     # query rows are sliced off afterwards.
-    Np, blk = _pad_and_block(N, max(block_q, block_kv))
+    if pad_to is not None:  # explicit tuning override
+        assert pad_to >= N and pad_to % block_q == 0 and pad_to % block_kv == 0
+        Np, bq, bkv = pad_to, block_q, block_kv
+    else:
+        Np, blk = _pad_and_block(N, max(block_q, block_kv))
+        bq = blk
+        # large kv blocks amortize per-step softmax/correction overhead
+        # (swept on v5e at ViT-L-896 shape: bq=384/bkv=2112 → 67 TFLOP/s vs
+        # 29 for square 384-blocks); cap ≈2.2k so the fp32 [bq, bkv] logits
+        # tile stays within VMEM.
+        bkv = blk
+        b = blk
+        while b <= Np:
+            if Np % b == 0 and b <= 2176:
+                bkv = b
+            b += 128
     if Np != N:
         pad = [(0, 0), (0, 0), (0, Np - N), (0, 0)]
         q = jnp.pad(q, pad)
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
-    bq = bkv = blk
     kv_steps = Np // bkv
 
     qf = q.reshape(B * H, Np, D)

@@ -85,8 +85,10 @@ def latency_stats(
         if hasattr(a, "dtype") and jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
     )
 
-    @jax.jit
-    def chained(*args):
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("length",))
+    def chained(*args, length):
         def body(carry, _):
             cur = list(args)
             cur[perturb_idx] = cur[perturb_idx] + carry * 1e-12
@@ -94,18 +96,24 @@ def latency_stats(
             leaves = jax.tree_util.tree_leaves(out)
             s = sum(jnp.sum(l.astype(jnp.float32)) for l in leaves if hasattr(l, "astype"))
             return carry + s * 1e-12, None
-        acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
+        acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=length)
         return acc
 
-    _ = float(chained(*args))  # compile + warmup
-    times = []
+    # Two-length slope: per-iteration time = (t(2k) - t(k)) / k. The host
+    # round-trip constant (25 ms through the TPU tunnel) cancels exactly.
+    for length in (iters, 2 * iters):
+        _ = float(chained(*args, length=length))  # compile + warmup
+    t_short, t_long = [], []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        float(chained(*args))
-        times.append((time.perf_counter() - t0) / iters)
-    arr = np.asarray(times)
+        float(chained(*args, length=iters))
+        t_short.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(chained(*args, length=2 * iters))
+        t_long.append(time.perf_counter() - t0)
+    per_iter = (np.asarray(t_long) - np.asarray(t_short)) / iters
     return {
-        "p50_ms": float(1e3 * np.median(arr)),
-        "min_ms": float(1e3 * arr.min()),
+        "p50_ms": float(1e3 * np.median(per_iter)),
+        "min_ms": float(1e3 * per_iter.min()),
         "iters": iters,
     }
