@@ -124,12 +124,12 @@ def flash_attention(
         # (swept on v5e at ViT-L-896 shape: bq=384/bkv=2112 → 67 TFLOP/s vs
         # 29 for square 384-blocks); cap ≈2.2k so the fp32 [bq, bkv] logits
         # tile stays within VMEM.
+        # kv is a SUBLANE dim (blocks are [1, bkv, D]) → multiples of 8
+        # suffice, so e.g. 2112 | 4224 is admissible.
         bkv = blk
-        b = blk
-        while b <= Np:
-            if Np % b == 0 and b <= 2176:
+        for b in range(blk, min(Np, 2176) + 1, 8):
+            if Np % b == 0:
                 bkv = b
-            b += 128
     if Np != N:
         pad = [(0, 0), (0, 0), (0, Np - N), (0, 0)]
         q = jnp.pad(q, pad)
