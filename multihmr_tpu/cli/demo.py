@@ -75,11 +75,33 @@ def main():
     K_model = get_camera_parameters(model.cfg.img_size, fov=args.fov)
     faces = np.asarray(model.body_model.faces)
 
+    # Prefetch + decode with the native C++ worker-pool loader when built
+    # (multihmr_tpu/io/native.py) so host preprocessing overlaps TPU compute.
+    prefetched = {}
+    try:
+        from multihmr_tpu.io import native
+
+        if native.native_available():
+            loader = native.NativeImageLoader(
+                [os.path.join(args.img_folder, p) for p in img_paths],
+                img_size=model.cfg.img_size,
+            )
+            prefetched = {idx: arr for idx, arr in loader if idx >= 0}
+            loader.close()
+    except Exception:
+        prefetched = {}
+
     durations = []
-    for name in img_paths:
-        x, img_visu = open_image(
-            os.path.join(args.img_folder, name), model.cfg.img_size, return_pil=True
-        )
+    for i, name in enumerate(img_paths):
+        if i in prefetched:
+            x = prefetched[i][None]
+            from PIL import Image
+
+            img_visu = Image.open(os.path.join(args.img_folder, name)).convert("RGB")
+        else:
+            x, img_visu = open_image(
+                os.path.join(args.img_folder, name), model.cfg.img_size, return_pil=True
+            )
         t0 = time.time()
         out = fwd(params, jnp.asarray(x), jnp.asarray(K_model))
         jax.block_until_ready(out["v3d"])
