@@ -200,6 +200,41 @@ def _pick_block(n: int, target: int) -> int:
     return n  # tiny sequences: single block
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def flash_attention_trainable(q, k, v, scale=None):
+    """Differentiable wrapper: Pallas kernel forward, analytic XLA backward.
+
+    ``pallas_call`` has no automatic VJP, so training paths route through
+    this wrapper: the backward pass recomputes probabilities (fp32 softmax)
+    and applies the closed-form softmax-attention gradients —
+    flash-style memory in fwd, standard O(N²) recompute in bwd (which is
+    where XLA would be anyway without a bwd kernel).
+    """
+    return flash_attention(q, k, v, scale=scale)
+
+
+def _fa_fwd(q, k, v, scale):
+    return flash_attention(q, k, v, scale=scale), (q, k, v)
+
+
+def _fa_bwd(scale, res, g):
+    q, k, v = res
+    sc = q.shape[-1] ** -0.5 if scale is None else scale
+    s = jnp.einsum("bhnd,bhmd->bhnm", q, k) * sc
+    p = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
+    g32 = g.astype(jnp.float32)
+    v32 = v.astype(jnp.float32)
+    dv = jnp.einsum("bhnm,bhnd->bhmd", p, g32)
+    dp = jnp.einsum("bhnd,bhmd->bhnm", g32, v32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhnm,bhmd->bhnd", ds, k.astype(jnp.float32)) * sc
+    dk = jnp.einsum("bhnm,bhnd->bhmd", ds, q.astype(jnp.float32)) * sc
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+flash_attention_trainable.defvjp(_fa_fwd, _fa_bwd)
+
+
 def _on_tpu() -> bool:
     try:
         platform = jax.devices()[0].platform
@@ -217,5 +252,5 @@ def multi_head_attention(
     if use_flash is None:
         use_flash = _on_tpu() and N >= 1024
     if use_flash:
-        return flash_attention(q, k, v, scale=scale)
+        return flash_attention_trainable(q, k, v, scale)
     return mha_reference(q, k, v, scale=scale)
