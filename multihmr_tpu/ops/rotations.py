@@ -31,10 +31,12 @@ def rot6d_to_rotmat(x: jax.Array) -> jax.Array:
     batch = x.shape[:-1]
     x = x.reshape(batch + (2, 3))
     a1, a2 = x[..., 0, :], x[..., 1, :]
-    eps = jnp.finfo(x.dtype).eps if x.dtype in (jnp.float32, jnp.float64) else 1e-6
 
     def _normalize(v):
-        return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), eps)
+        # rsqrt(|v|^2 + eps) instead of v/|v|: finite GRADIENT at v == 0
+        # (jnp.linalg.norm backprops NaN at exactly zero — degenerate 6d
+        # inputs like the identity-derived hand-joint inits hit this).
+        return v * jax.lax.rsqrt(jnp.sum(v * v, axis=-1, keepdims=True) + 1e-12)
 
     b1 = _normalize(a1)
     b2 = _normalize(a2 - jnp.sum(b1 * a2, axis=-1, keepdims=True) * b1)
@@ -50,11 +52,17 @@ def rotvec_to_rotmat(rotvec: jax.Array) -> jax.Array:
     sin(t)/t and (1-cos(t))/t^2 evaluated with series fallbacks.
     """
     theta2 = jnp.sum(rotvec * rotvec, axis=-1)[..., None, None]
-    theta = jnp.sqrt(jnp.maximum(theta2, 1e-30))
+    # clamp BOTH the sqrt input and the denominators: the unselected `where`
+    # branch still backprops, and 1/theta2 at zero would poison the gradient
+    # with 0 * NaN (the "double-where" trap). The clamp must be large enough
+    # that 1/clamp^2 stays finite in fp32 (1e-12 → 1e24 < fp32 max); any
+    # theta2 this small takes the Taylor branch anyway.
+    theta2_safe = jnp.maximum(theta2, 1e-12)
+    theta = jnp.sqrt(theta2_safe)
     small = theta2 < 1e-12
     # sin(t)/t and (1 - cos t)/t^2 with series fallback near zero.
     sinc = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    cosc = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
+    cosc = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2_safe)
 
     x, y, z = rotvec[..., 0], rotvec[..., 1], rotvec[..., 2]
     zero = jnp.zeros_like(x)
@@ -109,7 +117,7 @@ def rotmat_to_unitquat(R: jax.Array) -> jax.Array:
     take = lambda c: jnp.take_along_axis(c, best, axis=-1)[..., 0]
     w, xq, yq, zq = take(cand_w), take(cand_x), take(cand_y), take(cand_z)
     q = jnp.stack([xq, yq, zq, w], axis=-1)
-    q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-24)
+    q = q * jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-24)
     # canonical sign: w >= 0
     return q * jnp.where(q[..., 3:4] < 0, -1.0, 1.0)
 
@@ -118,7 +126,7 @@ def unitquat_to_rotvec(q: jax.Array) -> jax.Array:
     """Unit quaternion (x,y,z,w) → axis-angle ``(..., 3)``."""
     v = q[..., :3]
     w = q[..., 3]
-    norm_v = jnp.linalg.norm(v, axis=-1)
+    norm_v = jnp.sqrt(jnp.sum(v * v, axis=-1) + 1e-24)  # grad-safe at v=0
     theta = 2.0 * jnp.arctan2(norm_v, w)
     # theta / sin(theta/2) with series fallback for small theta
     half = theta * 0.5
