@@ -166,7 +166,13 @@ def synthetic_body_model(
     # J_regressor recovering approximately the joint positions
     Jr = np.exp(-d2.T / 0.005)
     Jr = Jr / Jr.sum(-1, keepdims=True)
-    faces = rng.integers(0, num_vertices, size=(3 * num_vertices, 3))
+    # locally-connected faces (each triangle spans spatially-near vertices,
+    # like a real mesh) so rendering paths see realistic triangle sizes
+    order = np.lexsort((v_template[:, 2], v_template[:, 1], v_template[:, 0]))
+    f0 = order[np.arange(3 * num_vertices) % num_vertices]
+    f1 = order[(np.arange(3 * num_vertices) + 1) % num_vertices]
+    f2 = order[(np.arange(3 * num_vertices) + 2) % num_vertices]
+    faces = np.stack([f0, f1, f2], axis=1)
     return BodyModel(
         v_template=jnp.asarray(v_template, dtype),
         shapedirs=jnp.asarray(

@@ -57,8 +57,46 @@ def _load():
     lib.mh_loader_total.restype = ctypes.c_int
     lib.mh_loader_total.argtypes = [ctypes.c_void_p]
     lib.mh_loader_destroy.argtypes = [ctypes.c_void_p]
+    lib.mh_rasterize.restype = None
+    lib.mh_rasterize.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+    ]
     _lib = lib
     return lib
+
+
+def rasterize(
+    verts: np.ndarray,
+    faces: np.ndarray,
+    K: np.ndarray,
+    width: int,
+    height: int,
+    color=(0.65, 0.74, 0.86),
+    rgb: Optional[np.ndarray] = None,
+    depth: Optional[np.ndarray] = None,
+):
+    """Native z-buffer rasterization. Returns (rgb [H,W,3] f32, depth [H,W])."""
+    lib = _load()
+    verts = np.ascontiguousarray(verts, np.float32)
+    faces = np.ascontiguousarray(faces, np.int32)
+    Kf = np.ascontiguousarray(K, np.float32).reshape(9)
+    if rgb is None:
+        rgb = np.zeros((height, width, 3), np.float32)
+    if depth is None:
+        depth = np.full((height, width), np.inf, np.float32)
+    lib.mh_rasterize(
+        verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(verts),
+        faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(faces),
+        Kf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), width, height,
+        float(color[0]), float(color[1]), float(color[2]),
+        rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        depth.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return rgb, depth
 
 
 def native_available() -> bool:

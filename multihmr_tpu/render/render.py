@@ -56,21 +56,79 @@ def _rasterize(
 
     depth = np.full((height, width), np.inf, np.float32)
     image = np.zeros((height, width, 3), np.float32)
+    color = np.asarray(color, np.float32)
 
     # cull: behind camera or outside frame
-    xmin = np.floor(tri2d[..., 0].min(1)).astype(int)
-    xmax = np.ceil(tri2d[..., 0].max(1)).astype(int)
-    ymin = np.floor(tri2d[..., 1].min(1)).astype(int)
-    ymax = np.ceil(tri2d[..., 1].max(1)).astype(int)
+    xmin = np.floor(tri2d[..., 0].min(1)).astype(np.int64)
+    xmax = np.ceil(tri2d[..., 0].max(1)).astype(np.int64)
+    ymin = np.floor(tri2d[..., 1].min(1)).astype(np.int64)
+    ymax = np.ceil(tri2d[..., 1].max(1)).astype(np.int64)
     ok = (
         (triz > 1e-6).all(1)
         & (xmax >= 0) & (xmin < width) & (ymax >= 0) & (ymin < height)
     )
-    order = np.argsort(-triz[ok].mean(1))  # far-to-near (z-buffer resolves rest)
-    idxs = np.nonzero(ok)[0][order]
-    color = np.asarray(color, np.float32)
 
-    for f in idxs:
+    # Fully vectorized small-window pass: each face rasterizes into a WxW
+    # local window (human-mesh triangles project tiny); oversized faces take
+    # the per-face fallback below. ~30k faces/person → a handful of numpy
+    # array ops instead of a 30k-iteration python loop.
+    W = 12
+    small = ok & (xmax - xmin < W) & (ymax - ymin < W)
+
+    def rasterize_faces(fids, win):
+        if len(fids) == 0:
+            return
+        a = tri2d[fids, 0]  # [F, 2]
+        b = tri2d[fids, 1]
+        c = tri2d[fids, 2]
+        det = (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1]) - (
+            c[:, 0] - a[:, 0]
+        ) * (b[:, 1] - a[:, 1])
+        keep = np.abs(det) > 1e-12
+        fids, a, b, c, det = fids[keep], a[keep], b[keep], c[keep], det[keep]
+        if len(fids) == 0:
+            return
+        dx = np.arange(win, dtype=np.float32)
+        px = xmin[fids][:, None] + dx[None]  # [F, W]
+        py = ymin[fids][:, None] + dx[None]
+        xs = px[:, None, :] + 0.5  # [F, 1, W]
+        ys = py[:, :, None] + 0.5  # [F, W, 1]
+        l1 = ((xs - a[:, None, None, 0]) * (c[:, None, None, 1] - a[:, None, None, 1])
+              - (c[:, None, None, 0] - a[:, None, None, 0]) * (ys - a[:, None, None, 1])
+              ) / det[:, None, None]
+        l2 = ((b[:, None, None, 0] - a[:, None, None, 0]) * (ys - a[:, None, None, 1])
+              - (xs - a[:, None, None, 0]) * (b[:, None, None, 1] - a[:, None, None, 1])
+              ) / det[:, None, None]
+        l0 = 1.0 - l1 - l2
+        z = (l0 * triz[fids, 0][:, None, None]
+             + l1 * triz[fids, 1][:, None, None]
+             + l2 * triz[fids, 2][:, None, None])
+        ix = np.broadcast_to(px[:, None, :], z.shape).astype(np.int64)
+        iy = np.broadcast_to(py[:, :, None], z.shape).astype(np.int64)
+        valid = (
+            (l0 >= 0) & (l1 >= 0) & (l2 >= 0)
+            & (ix >= 0) & (ix < width) & (iy >= 0) & (iy < height)
+        )
+        flat = (iy * width + ix)[valid]
+        zv = z[valid].astype(np.float32)
+        sh = np.broadcast_to(shade[fids][:, None, None], z.shape)[valid]
+        # z-buffer: scatter-min depths, then color the winners
+        np.minimum.at(depth.reshape(-1), flat, zv)
+        winners = depth.reshape(-1)[flat] == zv
+        image.reshape(-1, 3)[flat[winners]] = sh[winners, None] * color
+
+    rasterize_faces(np.nonzero(small)[0], W)
+    # medium tiers: vectorized with larger windows, chunked for memory
+    covered = small
+    for W2, chunk in ((48, 2048), (128, 256)):
+        tier = ok & ~covered & (xmax - xmin < W2) & (ymax - ymin < W2)
+        tier_ids = np.nonzero(tier)[0]
+        for s in range(0, len(tier_ids), chunk):
+            rasterize_faces(tier_ids[s : s + chunk], W2)
+        covered = covered | tier
+    medium = covered & ~small
+    # fallback: big faces (close-ups), python loop — rare for real meshes
+    for f in np.nonzero(ok & ~small & ~medium)[0]:
         x0, x1 = max(xmin[f], 0), min(xmax[f] + 1, width)
         y0, y1 = max(ymin[f], 0), min(ymax[f] + 1, height)
         if x1 <= x0 or y1 <= y0:
@@ -110,8 +168,30 @@ def render_meshes(
     H, W = img.shape[:2]
     out = img.astype(np.float32) / 255.0
     colors = color if color is not None else demo_color
+
+    # native C++ rasterizer when built (~ms per mesh); numpy fallback below
+    use_native = False
+    try:
+        from multihmr_tpu.io import native as _native
+
+        use_native = _native.native_available()
+    except Exception:  # pragma: no cover
+        use_native = False
+
     acc_img = np.zeros((H, W, 3), np.float32)
     acc_depth = np.full((H, W), np.inf, np.float32)
+    if use_native:
+        # shared z-buffer across meshes: occlusion handled natively
+        for i, (verts, faces) in enumerate(zip(l_mesh, l_face)):
+            _native.rasterize(
+                np.asarray(verts, np.float32), np.asarray(faces, np.int32),
+                np.asarray(cam_param, np.float32), W, H,
+                color=colors[i % len(colors)], rgb=acc_img, depth=acc_depth,
+            )
+        covered = np.isfinite(acc_depth)
+        out[covered] = alpha * acc_img[covered] + (1 - alpha) * out[covered]
+        return (out * 255).astype(np.uint8)
+
     for i, (verts, faces) in enumerate(zip(l_mesh, l_face)):
         rgb, depth = _rasterize(
             np.asarray(verts, np.float32),
