@@ -55,7 +55,23 @@ def build_model(
     smplx_dir: Optional[str] = None,
 ):
     """Build (model, params). ``params`` is None unless a checkpoint is given
-    — call ``model.init_params(rng)`` for random init."""
+    — call ``model.init_params(rng)`` for random init.
+
+    Anny-family names ("anny" in name, reference demo.py:95 dispatch) build
+    the :class:`MultiHMRAnny` system instead.
+    """
+    if cfg is None and "anny" in name:
+        from multihmr_tpu.models.multihmr_anny import AnnyConfig, MultiHMRAnny
+        from multihmr_tpu.bodymodel.anny import synthetic_anny_model
+
+        acfg = AnnyConfig(backbone="dinov2_vitl14", img_size=672)
+        model = MultiHMRAnny(acfg, synthetic_anny_model())
+        params = None
+        if checkpoint is not None:
+            from multihmr_tpu.io.checkpoint import convert_torch_checkpoint_anny
+
+            params = convert_torch_checkpoint_anny(checkpoint, acfg)
+        return model, params
     cfg = cfg if cfg is not None else named_config(name)
     bm, real_assets = load_body_model(cfg.num_betas, smplx_dir)
     model = MultiHMR(cfg, bm)
