@@ -184,22 +184,6 @@ def _pad_and_block(n: int, target: int) -> tuple[int, int]:
     return np_cap, target
 
 
-def _pick_block(n: int, target: int) -> int:
-    """Largest divisor of ``n`` that is ≤ target and lane-aligned (multiple
-    of 128, falling back to 8). ViT grids: 576/2304 → 256|512-ish blocks,
-    4096 → target itself."""
-    for align in (128, 8):
-        best = 0
-        b = align
-        while b <= min(target, n):
-            if n % b == 0:
-                best = b
-            b += align
-        if best:
-            return best
-    return n  # tiny sequences: single block
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def flash_attention_trainable(q, k, v, scale=None):
     """Differentiable wrapper: Pallas kernel forward, analytic XLA backward.

@@ -5,16 +5,17 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from multihmr_tpu.ops.attention import flash_attention, mha_reference, _pick_block
+from multihmr_tpu.ops.attention import flash_attention, mha_reference, _pad_and_block
 
 
-def test_pick_block():
-    assert _pick_block(2304, 512) in (256, 384, 512 - 512 % 128 or 512)
-    assert 2304 % _pick_block(2304, 512) == 0
-    assert _pick_block(4096, 512) == 512
-    assert _pick_block(4224, 512) in (384, 512)
-    assert 4224 % _pick_block(4224, 512) == 0
-    assert _pick_block(128, 512) == 128
+def test_pad_and_block():
+    # (padded length, block) — Np must be divisible by the block
+    for n in (577, 2305, 4097, 8465, 4096, 2304):
+        np_, blk = _pad_and_block(n, 512)
+        assert np_ >= n and np_ % blk == 0 and blk % 128 == 0
+        assert np_ - n < max(512, blk)  # bounded padding
+    assert _pad_and_block(4096, 512) == (4096, 512)
+    assert _pad_and_block(4097, 512) == (4224, 384)
 
 
 @pytest.mark.parametrize("N", [256, 320, 257])  # aligned, aligned, ragged(cls)
