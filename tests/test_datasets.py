@@ -1,0 +1,158 @@
+"""Dataset classes exercised end-to-end on synthetic fixture files
+(PLY meshes + PNGs + sequence pkls written to tmp dirs)."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from multihmr_tpu.data.ply import read_ply_vertices
+
+
+def write_ply_ascii(path, verts):
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {len(verts)}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        f.write("end_header\n")
+        for v in verts:
+            f.write(f"{v[0]} {v[1]} {v[2]}\n")
+
+
+def write_ply_binary(path, verts):
+    import struct
+
+    with open(path, "wb") as f:
+        f.write(b"ply\nformat binary_little_endian 1.0\n")
+        f.write(f"element vertex {len(verts)}\n".encode())
+        f.write(b"property float x\nproperty float y\nproperty float z\n")
+        f.write(b"end_header\n")
+        for v in verts:
+            f.write(struct.pack("<fff", *v))
+
+
+def test_ply_reader_roundtrip(tmp_path, rng):
+    verts = rng.normal(size=(20, 3)).astype(np.float32)
+    pa = tmp_path / "a.ply"
+    pb = tmp_path / "b.ply"
+    write_ply_ascii(pa, verts)
+    write_ply_binary(pb, verts)
+    np.testing.assert_allclose(read_ply_vertices(str(pa)), verts, rtol=1e-4)
+    np.testing.assert_allclose(read_ply_vertices(str(pb)), verts)
+
+
+def test_ehf_dataset_end_to_end(tmp_path, rng):
+    from PIL import Image
+
+    from multihmr_tpu.data.ehf import EHF, EHF_CAM_ROTVEC, EHF_CAM_T, _rotvec_to_rotmat_np
+
+    root = tmp_path / "EHF"
+    root.mkdir()
+    verts = rng.normal(size=(50, 3)).astype(np.float32)
+    for i in range(2):
+        write_ply_binary(root / f"{i:02d}_align.ply", verts + i)
+        Image.fromarray(
+            rng.integers(0, 255, size=(120, 160, 3), dtype=np.uint8)
+        ).save(root / f"{i:02d}_img.png")
+
+    ds = EHF(
+        img_size=64,
+        root_dir=str(root),
+        annotations_dir=str(tmp_path / "annot"),
+        force_build_dataset=True,
+    )
+    assert len(ds) == 2
+    x, annot = ds[0]
+    assert x.shape == (64, 64, 3)
+    assert annot["K"].shape == (3, 3)
+    gt = annot["humans"][0]["smplx_vertices"]
+    # GT verts = R @ v + t
+    R = _rotvec_to_rotmat_np(EHF_CAM_ROTVEC)
+    np.testing.assert_allclose(gt, verts @ R.T + EHF_CAM_T, atol=1e-4)
+    # reload from pickle (no rebuild)
+    ds2 = EHF(img_size=64, root_dir=str(root), annotations_dir=str(tmp_path / "annot"))
+    assert ds2.imagenames == ds.imagenames
+
+
+def test_threedpw_dataset_end_to_end(tmp_path, rng):
+    from PIL import Image
+
+    from multihmr_tpu.data.threedpw import THREEDPW
+    from multihmr_tpu.bodymodel.assets import synthetic_body_model
+
+    root = tmp_path / "3DPW"
+    (root / "sequenceFiles" / "test").mkdir(parents=True)
+    (root / "imageFiles" / "seq0").mkdir(parents=True)
+    T = 2
+    meta = {
+        "poses": [rng.normal(scale=0.2, size=(T, 72)).astype(np.float32)],
+        "trans": [rng.normal(size=(T, 3)).astype(np.float32)],
+        "betas": [rng.normal(size=10).astype(np.float32)],
+        "genders": ["m"],
+        "campose_valid": [np.ones(T)],
+        "cam_poses": np.tile(np.eye(4), (T, 1, 1)),
+        "cam_intrinsics": np.array([[500.0, 0, 80], [0, 500, 60], [0, 0, 1]]),
+        "poses2d": [rng.normal(size=(T, 3, 18)).astype(np.float32)],
+    }
+    with open(root / "sequenceFiles" / "test" / "seq0.pkl", "wb") as f:
+        pickle.dump(meta, f)
+    for k in range(T):
+        Image.fromarray(
+            rng.integers(0, 255, size=(120, 160, 3), dtype=np.uint8)
+        ).save(root / "imageFiles" / "seq0" / f"image_{k:05d}.jpg")
+
+    # monkeypatch the SMPL loader to the synthetic model (no licensed pkl)
+    import multihmr_tpu.data.threedpw as tp
+    import multihmr_tpu.bodymodel.assets as assets
+
+    orig = assets.load_smpl_pkl
+    assets.load_smpl_pkl = lambda path, num_betas=10: synthetic_body_model(
+        num_vertices=60, num_joints=24, num_extra=0, num_lmk=0
+    )
+    try:
+        ds = THREEDPW(
+            img_size=64,
+            root_dir=str(root),
+            annotations_dir=str(tmp_path / "annot3"),
+            force_build_dataset=True,
+        )
+    finally:
+        assets.load_smpl_pkl = orig
+    assert len(ds) == 2
+    x, annot = ds[0]
+    assert x.shape == (64, 64, 3)
+    hum = annot["humans"][0]
+    assert hum["smpl_gender"] == "male" and int(hum["smpl_gender_id"]) == 1
+    assert hum["smpl_root_pose"].shape == (1, 3)
+    assert hum["smpl_body_pose"].shape == (23, 3)
+
+
+def test_bedlam_flip_mirroring(rng):
+    from multihmr_tpu.data.bedlam import flip_smplx_params, FLIP_PAIRS
+
+    hum = {
+        "smplx_root_pose": rng.normal(size=(1, 3)).astype(np.float32),
+        "smplx_body_pose": rng.normal(size=(21, 3)).astype(np.float32),
+        "smplx_jaw_pose": rng.normal(size=(1, 3)).astype(np.float32),
+        "smplx_leye_pose": rng.normal(size=(1, 3)).astype(np.float32),
+        "smplx_reye_pose": rng.normal(size=(1, 3)).astype(np.float32),
+        "smplx_left_hand_pose": rng.normal(size=(15, 3)).astype(np.float32),
+        "smplx_right_hand_pose": rng.normal(size=(15, 3)).astype(np.float32),
+        "smplx_transl": np.array([1.0, 2.0, 3.0], np.float32),
+    }
+    out = flip_smplx_params(hum)
+    np.testing.assert_allclose(out["smplx_transl"], [-1, 2, 3])
+    # y/z negated on root
+    np.testing.assert_allclose(out["smplx_root_pose"][0, 0], hum["smplx_root_pose"][0, 0])
+    np.testing.assert_allclose(out["smplx_root_pose"][0, 1:], -hum["smplx_root_pose"][0, 1:])
+    # hands swapped with negation
+    np.testing.assert_allclose(out["smplx_left_hand_pose"][:, 0], hum["smplx_right_hand_pose"][:, 0])
+    np.testing.assert_allclose(out["smplx_left_hand_pose"][:, 1:], -hum["smplx_right_hand_pose"][:, 1:])
+    # body pairs swapped
+    a, b = FLIP_PAIRS[0]
+    np.testing.assert_allclose(out["smplx_body_pose"][a, 0], hum["smplx_body_pose"][b, 0])
+    # double flip = identity
+    out2 = flip_smplx_params(out)
+    for k in hum:
+        np.testing.assert_allclose(out2[k], hum[k], atol=1e-6)
