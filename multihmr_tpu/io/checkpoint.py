@@ -330,6 +330,41 @@ def load_checkpoint(path: str, params_template):
     return params, meta
 
 
+class OrbaxCheckpointer:
+    """Production checkpoint manager backed by orbax (async-capable,
+    atomic, sharding-aware — restores distributed arrays directly onto a
+    Mesh). The msgpack path above stays as the zero-dependency fallback."""
+
+    def __init__(self, ckpt_dir: str, keep: int = 3):
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self.manager = ocp.CheckpointManager(
+            os.path.abspath(ckpt_dir),
+            options=ocp.CheckpointManagerOptions(max_to_keep=keep, create=True),
+        )
+
+    def save(self, step: int, params, opt_state=None, metadata=None):
+        items = {"params": params}
+        if opt_state is not None:
+            items["opt_state"] = opt_state
+        args = self._ocp.args.Composite(
+            **{k: self._ocp.args.StandardSave(v) for k, v in items.items()}
+        )
+        self.manager.save(step, args=args)
+        self.manager.wait_until_finished()
+
+    def restore(self, step=None, params_template=None, opt_state_template=None):
+        step = step if step is not None else self.manager.latest_step()
+        kwargs = {}
+        if params_template is not None:
+            kwargs["params"] = self._ocp.args.StandardRestore(params_template)
+        if opt_state_template is not None:
+            kwargs["opt_state"] = self._ocp.args.StandardRestore(opt_state_template)
+        out = self.manager.restore(step, args=self._ocp.args.Composite(**kwargs))
+        return out
+
+
 def prune_checkpoints(ckpt_dir: str, keep: int):
     """Retain the last ``keep`` checkpoints (reference train.py:209-223)."""
     ckpts = sorted(
