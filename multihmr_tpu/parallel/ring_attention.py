@@ -91,3 +91,29 @@ def ring_attention(
         out_specs=spec,
     )
     return fn(q, k, v)
+
+
+def head_parallel_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mesh: Mesh,
+    axis: str = "model",
+    scale: float | None = None,
+) -> jax.Array:
+    """Tensor-parallel attention: heads sharded over ``axis``.
+
+    Attention is embarrassingly parallel over heads, but the Pallas flash
+    kernel is a custom call XLA cannot auto-partition under pjit — this
+    shard_map wrapper runs the kernel per head-shard with zero
+    communication, keeping the Megatron TP layout (qkv output-sharded →
+    heads sharded → proj input-sharded) on the fast path.
+    """
+    spec = P(None, axis, None, None)
+
+    def local(q, k, v):
+        return multi_head_attention(q, k, v, scale=scale)
+
+    return shard_map(
+        local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec
+    )(q, k, v)

@@ -37,3 +37,18 @@ def test_ring_attention_under_jit(rng):
         out = f(q, k, v)
     ref = mha_reference(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_head_parallel_attention_matches(rng):
+    from multihmr_tpu.parallel.ring_attention import head_parallel_attention
+
+    mesh = make_mesh(8, model_parallel=4, axis_names=("data", "model"))
+    B, H, N, D = 1, 8, 24, 16  # 8 heads over 4 shards
+    q, k, v = [
+        jnp.asarray(rng.normal(size=(B, H, N, D)).astype(np.float32))
+        for _ in range(3)
+    ]
+    with mesh:
+        out = head_parallel_attention(q, k, v, mesh, axis="model")
+    ref = mha_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
