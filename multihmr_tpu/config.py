@@ -84,6 +84,8 @@ class ModelConfig:
     # Numerics
     compute_dtype: str = "bfloat16"  # matmul/activation dtype inside the ViT
     param_dtype: str = "float32"
+    # Training-memory knob: rematerialize ViT blocks in the backward pass
+    remat: bool = False
     # Testing/bench hook: replace the named backbone geometry with a custom one
     vit_override: Optional[ViTConfig] = None
 

@@ -85,7 +85,9 @@ class MultiHMRNet(nn.Module):
         g = c.grid_size
 
         # --- backbone (reference model.py:229) ---
-        vit = DINOv2ViT(c.vit, grid_size=g, dtype=compute_dtype, name="backbone")
+        vit = DINOv2ViT(
+            c.vit, grid_size=g, dtype=compute_dtype, remat=c.remat, name="backbone"
+        )
         z = vit(x)["patch_tokens"]  # [B, N, D] bf16
 
         # --- detection (reference model.py:133-158) ---
