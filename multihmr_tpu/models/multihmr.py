@@ -232,6 +232,16 @@ class MultiHMR:
         with the reference's keys (reference model.py:328-347)."""
         valid = np.asarray(out["det"].valid)
         B = valid.shape[0]
+        full = valid.sum(-1) == valid.shape[1]
+        if full.any():
+            import warnings
+
+            warnings.warn(
+                f"{int(full.sum())} image(s) saturated the detection capacity "
+                f"K={valid.shape[1]} — people beyond capacity are dropped; "
+                "rebuild with a larger ModelConfig.max_people if unexpected.",
+                stacklevel=2,
+            )
         persons_per_image = []
         keys = [
             ("scores", "scores_det"), ("loc", "loc"), ("transl", "transl"),
