@@ -63,3 +63,39 @@ def test_dryrun_multichip_8():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_folder_inference_dp(rng=None):
+    import numpy as np
+    import jax
+    from multihmr_tpu.config import ModelConfig, ViTConfig
+    from multihmr_tpu.bodymodel import synthetic_body_model
+    from multihmr_tpu.models.multihmr import MultiHMR
+    from multihmr_tpu.parallel.infer import folder_inference
+
+    rng = np.random.default_rng(0)
+    cfg = ModelConfig(
+        backbone="dinov2_vits14", img_size=56, max_people=4, person_center="j5",
+        compute_dtype="float32",
+        vit_override=ViTConfig(embed_dim=32, depth=2, num_heads=2),
+    )
+    bm = synthetic_body_model()
+    names = [f"j{i}" for i in range(bm.num_output_joints)]
+    model = MultiHMR(cfg, bm, person_center_joint_names=names)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    images = [rng.normal(size=(56, 56, 3)).astype(np.float32) for _ in range(5)]
+    K = np.array([[100.0, 0, 28], [0, 100, 28], [0, 0, 1]], np.float32)
+    mesh = make_mesh(4, model_parallel=1)
+    results = folder_inference(
+        model, params, images, K, det_thresh=0.3, batch_size=4, mesh=mesh
+    )
+    assert len(results) == 5
+    # DP-sharded result must equal single-image forward for image 0
+    import jax.numpy as jnp
+
+    out = model.forward(params, jnp.asarray(images[0][None]), jnp.asarray(K[None]))
+    single = model.extract_persons(out)[0]
+    assert len(results[0]) == len(single)
+    for a, b in zip(results[0], single):
+        np.testing.assert_allclose(np.asarray(a["v3d"]), np.asarray(b["v3d"]), atol=2e-4)
