@@ -121,13 +121,13 @@ def flash_attention(
         Np, blk = _pad_and_block(N, max(block_q, block_kv))
         bq = blk
         # large kv blocks amortize per-step softmax/correction overhead
-        # (swept on v5e at ViT-L-896 shape: bq=384/bkv=2112 → 67 TFLOP/s vs
-        # 29 for square 384-blocks); cap ≈2.2k so the fp32 [bq, bkv] logits
-        # tile stays within VMEM.
+        # (swept on v5e: bq=384/bkv=2112 at Np=4224 is ~2x square blocks;
+        # bkv=2560 full-kv wins at Np=2560); cap 2560 keeps the fp32
+        # [bq, bkv] logits tile within VMEM.
         # kv is a SUBLANE dim (blocks are [1, bkv, D]) → multiples of 8
         # suffice, so e.g. 2112 | 4224 is admissible.
         bkv = blk
-        for b in range(blk, min(Np, 2176) + 1, 8):
+        for b in range(blk, min(Np, 2560) + 1, 8):
             if Np % b == 0:
                 bkv = b
     if Np != N:
