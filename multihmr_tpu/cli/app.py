@@ -21,7 +21,7 @@ import tempfile
 import numpy as np
 
 
-def build_infer(model_name: str, ckpt):
+def build_infer(model_name: str, ckpt, model=None, params=None):
     import jax
     import jax.numpy as jnp
 
@@ -33,7 +33,8 @@ def build_infer(model_name: str, ckpt):
     )
     from multihmr_tpu.render import overlay_human_meshes, create_glb_scene
 
-    model, params = build_model(model_name, checkpoint=ckpt)
+    if model is None:
+        model, params = build_model(model_name, checkpoint=ckpt)
     if params is None:
         params = model.init_params(jax.random.PRNGKey(0))
     faces = np.asarray(model.body_model.faces)
