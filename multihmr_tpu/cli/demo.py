@@ -39,6 +39,7 @@ def main():
     parser.add_argument("--distance", type=int, default=0)
     parser.add_argument("--save_mesh", type=int, default=0)
     parser.add_argument("--unique_color", type=int, default=0)
+    parser.add_argument("--save_rotating_video", type=int, default=0)
     parser.add_argument("--alpha", type=float, default=0.75)
     args = parser.parse_args()
 
@@ -117,14 +118,31 @@ def main():
         if args.distance:
             arr = print_distance_on_image(arr, humans, colors)
         save_fn = os.path.join(args.out_folder, f"{name}_{args.model_name}.png")
+        panels = [np.asarray(img_visu), arr]
+        if args.extra_views and humans:
+            from multihmr_tpu.render import render_view_from_angle
+
+            l_mesh = [np.asarray(hum["v3d"]) for hum in humans]
+            side = render_view_from_angle(
+                l_mesh, [faces] * len(l_mesh), K_full[0],
+                arr.shape[1], arr.shape[0], angle_deg=45,
+            )
+            panels.append(side)
         try:
             from PIL import Image
 
-            Image.fromarray(
-                np.concatenate([np.asarray(img_visu), arr], 1).astype(np.uint8)
-            ).save(save_fn)
+            Image.fromarray(np.concatenate(panels, 1).astype(np.uint8)).save(save_fn)
         except ImportError:  # pragma: no cover
             np.save(save_fn + ".npy", arr)
+        if getattr(args, "save_rotating_video", 0) and humans:
+            from multihmr_tpu.render import create_rotating_video
+
+            l_mesh = [np.asarray(hum["v3d"]) for hum in humans]
+            create_rotating_video(
+                l_mesh, [faces] * len(l_mesh), K_full[0],
+                arr.shape[1], arr.shape[0],
+                fn=save_fn.replace(".png", "_rotating.mp4"), n_frames=20,
+            )
 
         if args.save_mesh:
             l_mesh = [np.asarray(hum["v3d"]) for hum in humans]

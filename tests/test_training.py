@@ -142,3 +142,45 @@ def test_train_step_decreases_loss(rng):
         losses.append(float(terms["total"]))
         assert np.isfinite(losses[-1])
     assert losses[-1] < losses[0], losses
+
+
+def test_trainer_fit_with_checkpointing(tmp_path, rng):
+    """Full Trainer.fit loop: epochs, checkpoint save + retention, eval hook."""
+    from multihmr_tpu.train.trainer import Trainer
+    import optax
+
+    model = make_model()
+    params = model.init_params(jax.random.PRNGKey(0))
+    B, Kh = 1, 4
+
+    def data_iter():
+        for _ in range(2):
+            yield {
+                "image": jnp.asarray(rng.normal(size=(B, 56, 56, 3)).astype(np.float32)),
+                "K": jnp.asarray(
+                    np.array([[[100.0, 0, 28], [0, 100, 28], [0, 0, 1]]], np.float32)
+                ),
+                "gt_pose": jnp.asarray(
+                    rng.normal(scale=0.2, size=(B, Kh, 53, 3)).astype(np.float32)
+                ),
+                "gt_shape": jnp.asarray(rng.normal(size=(B, Kh, 10)).astype(np.float32)),
+                "gt_transl": jnp.asarray(
+                    (rng.normal(scale=0.3, size=(B, Kh, 3)) + [0, 0, 4]).astype(np.float32)
+                ),
+                "gt_valid": jnp.asarray([[1, 1, 0, 0]], jnp.float32),
+            }
+
+    evals = []
+    trainer = Trainer(
+        model, optax.adam(1e-4), checkpoint_dir=str(tmp_path / "ck"), nb_max_ckpt=2,
+        log_fn=lambda s: None,
+    )
+    trainer.fit(
+        params, data_iter, epochs=3,
+        eval_fn=lambda p, e: evals.append(e),
+    )
+    import os
+
+    ckpts = sorted(f for f in os.listdir(tmp_path / "ck") if f.endswith(".msgpack"))
+    assert ckpts == ["ckpt_000001.msgpack", "ckpt_000002.msgpack"]  # pruned to 2
+    assert evals == [0, 1, 2]
