@@ -1,0 +1,70 @@
+"""Profile a named config on the current backend.
+
+Usage:
+  python tools/profile_model.py --model_name multiHMR_896_L [--batch 1]
+      [--trace /tmp/jx]  [--stages]
+
+Prints slope-based end-to-end latency; with --trace writes a TensorBoard/
+Perfetto trace; with --stages also times the ViT alone.
+"""
+
+import argparse
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_name", default="multiHMR_896_L")
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--iters", type=int, default=8)
+    p.add_argument("--trace", default=None)
+    p.add_argument("--stages", action="store_true")
+    args = p.parse_args()
+
+    import jax
+
+    if jax.default_backend() in ("tpu", "axon"):
+        jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from multihmr_tpu.factory import build_model
+    from multihmr_tpu.utils.profiling import latency_stats, profile_trace
+
+    model, _ = build_model(args.model_name)
+    params = model.init_params(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    S = model.cfg.img_size
+    B = args.batch
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, S, S, 3), jnp.float32)
+    K = jnp.broadcast_to(
+        jnp.asarray([[754.0, 0, S / 2], [0, 754.0, S / 2], [0, 0, 1.0]], jnp.float32),
+        (B, 3, 3),
+    )
+
+    fwd = lambda p, x: model.forward(p, x, K)
+    r = latency_stats(fwd, (params, x), iters=args.iters)
+    print(
+        f"{args.model_name} B={B}: {r['p50_ms']:.2f} ms/batch"
+        f" = {r['p50_ms']/B:.2f} ms/img = {1000*B/r['p50_ms']:.1f} img/s"
+    )
+
+    if args.stages:
+        from multihmr_tpu.models.vit import DINOv2ViT
+
+        vit = DINOv2ViT(model.cfg.vit, grid_size=model.cfg.grid_size)
+        vp = {"params": params["params"]["backbone"]}
+        rv = latency_stats(
+            lambda p, x: vit.apply(p, x)["patch_tokens"], (vp, x), iters=args.iters
+        )
+        print(f"  vit: {rv['p50_ms']:.2f} ms  (rest: {r['p50_ms']-rv['p50_ms']:.2f} ms)")
+
+    if args.trace:
+        f = jax.jit(fwd)
+        jax.block_until_ready(f(params, x))
+        with profile_trace(args.trace):
+            jax.block_until_ready(f(params, x))
+        print(f"trace written to {args.trace}")
+
+
+if __name__ == "__main__":
+    main()
