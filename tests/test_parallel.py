@@ -99,3 +99,45 @@ def test_folder_inference_dp(rng=None):
     assert len(results[0]) == len(single)
     for a, b in zip(results[0], single):
         np.testing.assert_allclose(np.asarray(a["v3d"]), np.asarray(b["v3d"]), atol=2e-4)
+
+
+def test_tp_sharded_forward_matches_replicated():
+    """Numerical equivalence: forward with Megatron-TP-sharded params equals
+    the unsharded forward (XLA inserts the collectives; results must match)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from multihmr_tpu.config import ModelConfig, ViTConfig
+    from multihmr_tpu.bodymodel import synthetic_body_model
+    from multihmr_tpu.models.multihmr import MultiHMR
+    from multihmr_tpu.parallel import shard_params, batch_sharding
+
+    cfg = ModelConfig(
+        backbone="dinov2_vits14", img_size=56, max_people=4, person_center="j5",
+        compute_dtype="float32",
+        vit_override=ViTConfig(embed_dim=32, depth=2, num_heads=2),
+    )
+    bm = synthetic_body_model()
+    names = [f"j{i}" for i in range(bm.num_output_joints)]
+    model = MultiHMR(cfg, bm, person_center_joint_names=names)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    B = 4
+    x = jax.random.normal(jax.random.PRNGKey(3), (B, 56, 56, 3))
+    K = jnp.broadcast_to(
+        jnp.asarray([[100.0, 0, 28], [0, 100, 28], [0, 0, 1]], jnp.float32), (B, 3, 3)
+    )
+    ref = model.forward(params, x, K)
+
+    mesh = make_mesh(8, model_parallel=2)
+    sp = shard_params(mesh, params)
+    xb = jax.device_put(x, batch_sharding(mesh))
+    Kb = jax.device_put(K, batch_sharding(mesh))
+    with mesh:
+        out = jax.jit(lambda p, x, K: model.forward(p, x, K))(sp, xb, Kb)
+    np.testing.assert_allclose(
+        np.asarray(out["v3d"]), np.asarray(ref["v3d"]), atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["scores"]), np.asarray(ref["scores"]), atol=1e-5
+    )
