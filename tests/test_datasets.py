@@ -156,3 +156,56 @@ def test_bedlam_flip_mirroring(rng):
     out2 = flip_smplx_params(out)
     for k in hum:
         np.testing.assert_allclose(out2[k], hum[k], atol=1e-6)
+
+
+def test_bedlam_dataset_end_to_end(tmp_path, rng):
+    from PIL import Image
+
+    from multihmr_tpu.data.bedlam import BEDLAM
+
+    root = tmp_path / "BEDLAM"
+    seq = "seq0"
+    (root / "training" / seq / "png").mkdir(parents=True)
+    (root / "all_npz_12_training").mkdir(parents=True)
+
+    n_person, n_img = 3, 2
+    rows = n_person * n_img
+    imgnames = np.array([f"im{i}.png" for i in range(n_img) for _ in range(n_person)])
+    np.savez(
+        root / "all_npz_12_training" / f"{seq}.npz",
+        pose_cam=rng.normal(scale=0.2, size=(rows, 165)).astype(np.float32),
+        cam_int=np.tile(np.array([[500.0, 0, 80], [0, 500, 60], [0, 0, 1]]), (rows, 1, 1)),
+        cam_ext=np.tile(np.eye(4), (rows, 1, 1)),
+        shape=rng.normal(size=(rows, 11)).astype(np.float32),
+        imgname=imgnames,
+        trans_cam=(rng.normal(size=(rows, 3)) + [0, 0, 4]).astype(np.float32),
+    )
+    for i in range(n_img):
+        Image.fromarray(
+            rng.integers(0, 255, size=(120, 160, 3), dtype=np.uint8)
+        ).save(root / "training" / seq / "png" / f"im{i}.png")
+
+    ds = BEDLAM(
+        split="training", training=False, img_size=56,
+        root_dir=str(root), annotations_dir=str(tmp_path / "annots"),
+        force_build_dataset=True,
+    )
+    assert len(ds) == n_img
+    x, annot = ds[0]
+    assert x.shape == (56, 56, 3)
+    humans = annot["humans"]
+    assert len(humans) == n_person
+    # sorted near-to-far
+    depths = [h["smplx_transl"][2] for h in humans]
+    assert depths == sorted(depths)
+    assert humans[0]["smplx_body_pose"].shape == (21, 3)
+    assert humans[0]["smplx_left_hand_pose"].shape == (15, 3)
+    assert humans[0]["smplx_shape"].shape == (11,)
+    # training mode draws random indices and can flip — must still work
+    ds_train = BEDLAM(
+        split="training", training=True, img_size=56,
+        root_dir=str(root), annotations_dir=str(tmp_path / "annots"), seed=0,
+    )
+    x2, annot2 = ds_train[0]
+    assert x2.shape == (56, 56, 3)
+    assert len(annot2["humans"]) <= n_person  # z>0.01 filter
