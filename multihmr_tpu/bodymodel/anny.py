@@ -17,7 +17,7 @@ structure-identical stand-in used by tests and benchmarks.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Sequence
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -115,8 +115,6 @@ def synthetic_anny_model(
 def load_anny_npz(path: str) -> AnnyModel:  # pragma: no cover - needs asset
     """Load a converted Anny asset (npz with the BodyModel fields plus
     ``phenotype_matrix``)."""
-    from multihmr_tpu.bodymodel.assets import load_smplx_npz  # same container
-
     raise NotImplementedError(
         "Provide the converted Anny asset; see tools/convert_anny.py (planned)."
     )

@@ -9,7 +9,6 @@ Also provides a deterministic *synthetic* body model so the entire framework
 
 from __future__ import annotations
 
-import io
 import os
 import pickle
 from typing import Optional

@@ -10,7 +10,7 @@ onto a :class:`ModelConfig`.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 
 @dataclasses.dataclass(frozen=True)

@@ -25,8 +25,6 @@ accuracy here is free.
 
 from __future__ import annotations
 
-from typing import Any
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

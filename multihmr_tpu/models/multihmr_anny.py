@@ -22,14 +22,14 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Any, Optional
+from typing import Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from multihmr_tpu.config import ModelConfig, ViTConfig
+from multihmr_tpu.config import ViTConfig
 from multihmr_tpu.bodymodel.anny import (
     AnnyModel,
     anny_forward,
@@ -55,7 +55,6 @@ from multihmr_tpu.ops.rotations import (
     rot6d_to_rotmat,
     rotmat_to_rotvec,
     rotation_to_homogeneous,
-    rotvec_to_rotmat,
 )
 
 # reference multi_hmr_anny/multi_hmr.py:79-88 — which of the 163 bone

@@ -15,11 +15,9 @@ one chip, so the single-chip and multi-chip code paths share numerics.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 try:  # jax ≥ 0.9 top-level API; fall back to the experimental path
     from jax import shard_map
 except ImportError:  # pragma: no cover

@@ -12,7 +12,7 @@ stays on host, off the jit path.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import json
 import struct

@@ -2,7 +2,6 @@
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 from multihmr_tpu.config import ViTConfig
 from multihmr_tpu.models.multihmr_anny import (

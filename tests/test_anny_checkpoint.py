@@ -3,7 +3,6 @@ that load into MultiHMRAnnyNet and run."""
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 from multihmr_tpu.config import ViTConfig
 from multihmr_tpu.models.multihmr_anny import AnnyConfig, MultiHMRAnny

@@ -6,7 +6,6 @@ import urllib.request
 
 import numpy as np
 import jax
-import pytest
 
 from multihmr_tpu.config import ModelConfig, ViTConfig
 from multihmr_tpu.bodymodel import synthetic_body_model
@@ -41,10 +40,7 @@ def test_stdlib_server_roundtrip():
     # serve over HTTP
     from http.server import BaseHTTPRequestHandler, HTTPServer
 
-    # reuse the module's handler logic via serve_stdlib internals: spin a
-    # one-shot server on an ephemeral port
-    from multihmr_tpu.cli import app as app_mod
-
+    # spin a one-shot server on an ephemeral port
     server_holder = {}
 
     def run():

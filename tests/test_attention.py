@@ -1,7 +1,6 @@
 """Flash attention kernel vs plain attention (interpret mode on CPU)."""
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 import pytest
 

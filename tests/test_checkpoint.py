@@ -5,7 +5,6 @@ import os
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from multihmr_tpu.config import ModelConfig, ViTConfig
 from multihmr_tpu.bodymodel import synthetic_body_model

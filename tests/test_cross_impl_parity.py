@@ -10,7 +10,6 @@ validates the converter's weight mapping AND the flax modules' numerics.
 import numpy as np
 import torch
 import torch.nn.functional as F
-import jax
 import jax.numpy as jnp
 
 from multihmr_tpu.config import ModelConfig, ViTConfig

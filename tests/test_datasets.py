@@ -1,11 +1,9 @@
 """Dataset classes exercised end-to-end on synthetic fixture files
 (PLY meshes + PNGs + sequence pkls written to tmp dirs)."""
 
-import os
 import pickle
 
 import numpy as np
-import pytest
 
 from multihmr_tpu.data.ply import read_ply_vertices
 
@@ -103,7 +101,6 @@ def test_threedpw_dataset_end_to_end(tmp_path, rng):
         ).save(root / "imageFiles" / "seq0" / f"image_{k:05d}.jpg")
 
     # monkeypatch the SMPL loader to the synthetic model (no licensed pkl)
-    import multihmr_tpu.data.threedpw as tp
     import multihmr_tpu.bodymodel.assets as assets
 
     orig = assets.load_smpl_pkl

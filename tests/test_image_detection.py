@@ -3,7 +3,6 @@
 import numpy as np
 import torch
 import torch.nn.functional as F
-import jax
 import jax.numpy as jnp
 
 from multihmr_tpu.ops import (
