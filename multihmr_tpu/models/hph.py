@@ -35,6 +35,53 @@ from multihmr_tpu.ops.image import grid_to_tokens
 from multihmr_tpu.ops.rotations import rot6d_to_rotmat
 
 
+class AdaptiveLayerNorm1D(nn.Module):
+    """FiLM-style conditional LayerNorm (reference
+    cross_attn_transformer.py:11-40 — present in the reference as the
+    ``norm='ada'`` option, unused by the shipped configs). ``t`` is the
+    conditioning vector; scale/shift projection is zero-initialized so the
+    module starts as a plain LayerNorm."""
+
+    data_dim: int
+    norm_cond_dim: int
+
+    @nn.compact
+    def __call__(self, x, t):
+        y = nn.LayerNorm(epsilon=1e-5, use_bias=True, use_scale=True)(x)
+        ab = nn.Dense(
+            2 * self.data_dim,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            name="linear",
+        )(t)
+        alpha, beta = jnp.split(ab, 2, axis=-1)
+        while alpha.ndim < y.ndim:  # broadcast over token axes
+            alpha = alpha[:, None]
+            beta = beta[:, None]
+        return y * (1.0 + alpha) + beta
+
+
+def drop_token_dropout(rng, x, p: float):
+    """Reference DropTokenDropout (cross_attn_transformer.py:263-281):
+    removes a shared subset of tokens during training. Static-shape variant:
+    tokens are zeroed and a keep-mask is returned (the reference physically
+    shrinks the sequence — impossible under jit; downstream masking makes
+    the two equivalent for attention)."""
+    import jax
+
+    keep = jax.random.bernoulli(rng, 1.0 - p, (x.shape[1],))
+    return x * keep[None, :, None], keep
+
+
+def zero_token_dropout(rng, x, p: float):
+    """Reference ZeroTokenDropout (cross_attn_transformer.py:284-299):
+    zeroes tokens independently per batch element."""
+    import jax
+
+    keep = jax.random.bernoulli(rng, 1.0 - p, x.shape[:2])
+    return x * keep[..., None], keep
+
+
 class MaskedSelfAttention(nn.Module):
     """Reference blocks/cross_attn_transformer.py:106-159."""
 

@@ -69,6 +69,31 @@ def make_smplx_gt_forward(body_model, num_betas: int = 11):
     return gt_forward
 
 
+def _save_eval_visu(visu_dir, idx, x, annot, persons, gt, faces):
+    """Save an [input | prediction | GT] triptych for eval debugging."""
+    import os
+
+    from multihmr_tpu.ops.image import IMG_NORM_MEAN, IMG_NORM_STD
+    from multihmr_tpu.render import render_meshes
+
+    os.makedirs(visu_dir, exist_ok=True)
+    img = np.clip((np.asarray(x) * IMG_NORM_STD + IMG_NORM_MEAN) * 255, 0, 255).astype(
+        np.uint8
+    )
+    K = np.asarray(annot["K"])
+    pred_arr = render_meshes(
+        img, [np.asarray(p["v3d"]) for p in persons], [faces] * len(persons), K
+    )
+    gt_arr = render_meshes(img, list(gt["v3d"]), [faces] * len(gt["v3d"]), K)
+    strip = np.concatenate([img, pred_arr, gt_arr], axis=1)
+    try:
+        from PIL import Image
+
+        Image.fromarray(strip).save(os.path.join(visu_dir, f"eval_{idx:04d}.png"))
+    except ImportError:  # pragma: no cover
+        np.save(os.path.join(visu_dir, f"eval_{idx:04d}.npy"), strip)
+
+
 def evaluate_dataset(
     model,
     params,
@@ -81,6 +106,9 @@ def evaluate_dataset(
     max_images: Optional[int] = None,
     log_every: int = 50,
     log_fn=print,
+    visu_to_save: int = 0,
+    visu_dir: str = "eval_visu",
+    faces: Optional[np.ndarray] = None,
 ) -> Dict[str, float]:
     """Run eval over a dataset yielding (image NHWC, annot dict).
 
@@ -119,6 +147,11 @@ def evaluate_dataset(
             gt = {"v3d": verts, "j3d": j3d, "j2d": j2d}
         else:
             raise ValueError("dataset provides no GT meshes and no gt_forward")
+
+        # eval-time visualization (reference train.py:441-469: saves
+        # image/pred/GT triptychs for the first --visu_to_save images)
+        if i < visu_to_save and faces is not None:
+            _save_eval_visu(visu_dir, i, x, annot, persons, gt, faces)
 
         n_gt = gt["v3d"].shape[0]
         count += n_gt

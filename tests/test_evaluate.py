@@ -70,3 +70,52 @@ def test_evaluate_self_consistency():
     assert np.isfinite(res["pve"])
     assert res["recall"] == 100.0
     assert res["precision"] == 100.0
+
+
+def test_eval_visu_saving(tmp_path):
+    cfg = TinyConfig(img_size=56, max_people=4, person_center="j5", compute_dtype="float32")
+    bm = synthetic_body_model()
+    names = [f"j{i}" for i in range(bm.num_output_joints)]
+    model = MultiHMR(cfg, bm, person_center_joint_names=names)
+    params = model.init_params(jax.random.PRNGKey(0))
+    ds = SelfDataset(model, params, n=1)
+    if len(ds) == 0:
+        import pytest
+
+        pytest.skip("no detections")
+    import os
+
+    evaluate_dataset(
+        model, params, ds, log_every=0,
+        visu_to_save=1, visu_dir=str(tmp_path / "visu"),
+        faces=np.asarray(model.body_model.faces),
+    )
+    assert os.path.exists(tmp_path / "visu" / "eval_0000.png")
+
+
+def test_adaln_and_token_dropout(rng):
+    """Reference's norm='ada' and token-dropout options (unused by shipped
+    configs, kept for API parity)."""
+    import jax.numpy as jnp
+
+    from multihmr_tpu.models.hph import (
+        AdaptiveLayerNorm1D,
+        drop_token_dropout,
+        zero_token_dropout,
+    )
+
+    x = jnp.asarray(rng.normal(size=(2, 5, 8)).astype(np.float32))
+    t = jnp.asarray(rng.normal(size=(2, 4)).astype(np.float32))
+    mod = AdaptiveLayerNorm1D(8, 4)
+    p = mod.init(jax.random.PRNGKey(0), x, t)
+    y = mod.apply(p, x, t)
+    # zero-initialized conditioning → starts as plain LayerNorm
+    ln = np.asarray(y)
+    np.testing.assert_allclose(ln.mean(-1), 0, atol=1e-5)
+    np.testing.assert_allclose(ln.std(-1), 1, atol=1e-2)
+
+    xd, keep = drop_token_dropout(jax.random.PRNGKey(1), x, 0.5)
+    assert keep.shape == (5,)
+    np.testing.assert_allclose(np.asarray(xd)[:, np.asarray(keep) == 0], 0)
+    xz, keepz = zero_token_dropout(jax.random.PRNGKey(2), x, 0.5)
+    assert keepz.shape == (2, 5)
