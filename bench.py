@@ -18,10 +18,12 @@ import numpy as np
 
 import jax
 
+from multihmr_tpu.utils.cache import enable_persistent_cache
+
 # Persistent compilation cache: the flagship program is large and the remote
-# TPU compile is slow — cache hits make reruns start in seconds.
-jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# TPU compile is slow — cache hits make reruns start in seconds. Keyed by the
+# libtpu build so stale AOT entries are never loaded after an upgrade.
+enable_persistent_cache(os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 
 import jax.numpy as jnp
 

@@ -65,9 +65,16 @@ class RegressionMLP(nn.Module):
 
 class MultiHMRNet(nn.Module):
     """The trainable graph: backbone + detection + HPH (everything except the
-    parameter-free body-model layer, which the system wrapper applies)."""
+    parameter-free body-model layer, which the system wrapper applies).
+
+    ``mesh``/``tp_mode`` enable tensor/sequence-parallel attention inside the
+    ViT (heads or sequence sharded over the mesh's ``model`` axis) — the
+    TPU-native scaling path the single-GPU reference never had (SURVEY §2.3).
+    """
 
     cfg: ModelConfig
+    mesh: Any = None
+    tp_mode: str = "heads"
 
     @nn.compact
     def __call__(
@@ -86,7 +93,8 @@ class MultiHMRNet(nn.Module):
 
         # --- backbone (reference model.py:229) ---
         vit = DINOv2ViT(
-            c.vit, grid_size=g, dtype=compute_dtype, remat=c.remat, name="backbone"
+            c.vit, grid_size=g, dtype=compute_dtype, remat=c.remat,
+            mesh=self.mesh, tp_mode=self.tp_mode, name="backbone",
         )
         z = vit(x)["patch_tokens"]  # [B, N, D] bf16
 
@@ -174,9 +182,11 @@ class MultiHMR:
     cfg: ModelConfig
     body_model: BodyModel
     person_center_joint_names: Optional[list] = None
+    mesh: Any = None  # jax.sharding.Mesh → TP/SP attention inside the ViT
+    tp_mode: str = "heads"  # "heads" (Megatron TP) | "ring" (sequence parallel)
 
     def __post_init__(self):
-        self.net = MultiHMRNet(self.cfg)
+        self.net = MultiHMRNet(self.cfg, mesh=self.mesh, tp_mode=self.tp_mode)
         self.smpl_layer = SMPLXCameraLayer(
             self.body_model,
             person_center=self.cfg.person_center,

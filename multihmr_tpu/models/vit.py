@@ -30,7 +30,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from multihmr_tpu.config import ViTConfig
-from multihmr_tpu.ops.attention import multi_head_attention
+from multihmr_tpu.parallel.ring_attention import mesh_attention
 
 
 class Mlp(nn.Module):
@@ -47,9 +47,20 @@ class Mlp(nn.Module):
 
 
 class Attention(nn.Module):
+    """Self-attention with mesh-aware dispatch.
+
+    With no mesh (single chip) this is the Pallas flash kernel on TPU / XLA
+    elsewhere. With a mesh whose ``model`` axis is non-trivial, the kernel is
+    run under ``shard_map`` — heads sharded (Megatron TP, ``tp_mode="heads"``)
+    or sequence sharded (ring attention, ``tp_mode="ring"``) — because the
+    Pallas custom call cannot be auto-partitioned by XLA's SPMD pass.
+    """
+
     dim: int
     num_heads: int
     dtype: Any = jnp.bfloat16
+    mesh: Any = None
+    tp_mode: str = "heads"
 
     @nn.compact
     def __call__(self, x):
@@ -59,7 +70,7 @@ class Attention(nn.Module):
         qkv = nn.Dense(3 * D, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(B, N, 3, h, dh).transpose(2, 0, 3, 1, 4)  # [3,B,h,N,dh]
         q, k, v = qkv[0], qkv[1], qkv[2]
-        out = multi_head_attention(q, k, v)  # [B,h,N,dh]
+        out = mesh_attention(q, k, v, self.mesh, mode=self.tp_mode)  # [B,h,N,dh]
         out = out.transpose(0, 2, 1, 3).reshape(B, N, D)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
@@ -80,15 +91,18 @@ class LayerScale(nn.Module):
 class Block(nn.Module):
     cfg: ViTConfig
     dtype: Any = jnp.bfloat16
+    mesh: Any = None
+    tp_mode: str = "heads"
 
     @nn.compact
     def __call__(self, x, _scan_unused=None):
         c = self.cfg
         # LayerNorms run in fp32 for stability, outputs cast back to bf16.
         y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
-        y = Attention(c.embed_dim, c.num_heads, self.dtype, name="attn")(
-            y.astype(self.dtype)
-        )
+        y = Attention(
+            c.embed_dim, c.num_heads, self.dtype,
+            mesh=self.mesh, tp_mode=self.tp_mode, name="attn",
+        )(y.astype(self.dtype))
         x = x + LayerScale(c.embed_dim, c.layerscale_init, self.dtype, name="ls1")(y)
         y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
         y = Mlp(c.embed_dim, int(c.embed_dim * c.mlp_ratio), self.dtype, name="mlp")(
@@ -107,6 +121,8 @@ class ScannedBlocks(nn.Module):
     cfg: ViTConfig
     dtype: Any = jnp.bfloat16
     remat: bool = False
+    mesh: Any = None
+    tp_mode: str = "heads"
 
     @nn.compact
     def __call__(self, tokens):
@@ -122,7 +138,9 @@ class ScannedBlocks(nn.Module):
             split_rngs={"params": True},
             length=self.cfg.depth,
         )
-        return scan(self.cfg, self.dtype, name="block")(tokens, None)[0]
+        return scan(
+            self.cfg, self.dtype, mesh=self.mesh, tp_mode=self.tp_mode, name="block"
+        )(tokens, None)[0]
 
 
 class DINOv2ViT(nn.Module):
@@ -138,6 +156,8 @@ class DINOv2ViT(nn.Module):
     dtype: Any = jnp.bfloat16
     scan_blocks: bool = True
     remat: bool = False
+    mesh: Any = None
+    tp_mode: str = "heads"
 
     @nn.compact
     def __call__(self, x):
@@ -169,10 +189,16 @@ class DINOv2ViT(nn.Module):
         tokens = tokens + pos.astype(self.dtype)
 
         if self.scan_blocks:
-            tokens = ScannedBlocks(c, self.dtype, remat=self.remat, name="blocks")(tokens)
+            tokens = ScannedBlocks(
+                c, self.dtype, remat=self.remat,
+                mesh=self.mesh, tp_mode=self.tp_mode, name="blocks",
+            )(tokens)
         else:
             for i in range(c.depth):
-                tokens = Block(c, self.dtype, name=f"block{i}")(tokens)[0]
+                tokens = Block(
+                    c, self.dtype, mesh=self.mesh, tp_mode=self.tp_mode,
+                    name=f"block{i}",
+                )(tokens)[0]
 
         tokens = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(tokens)
         return {

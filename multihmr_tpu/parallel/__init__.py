@@ -5,3 +5,9 @@ from multihmr_tpu.parallel.sharding import (  # noqa: F401
     replicated,
     shard_params,
 )
+from multihmr_tpu.parallel.ring_attention import (  # noqa: F401
+    head_parallel_attention,
+    mesh_attention,
+    ring_attention,
+    sequence_parallel_attention,
+)

@@ -1,0 +1,131 @@
+"""Multi-chip dryrun: the FULL sharded train step on an n-device mesh.
+
+This is the driver-visible correctness artifact for the multi-chip path: it
+builds a (data, model) mesh, shards a complete train step (forward + loss +
+grads + optax update) with DP batch sharding + Megatron TP on the ViT —
+including the mesh-aware shard_map attention dispatch — and runs ONE step on
+tiny shapes, plus a ring-attention (sequence-parallel) forward.
+
+Hermeticity: :func:`main` pins the CPU platform BEFORE any backend use, so
+the dryrun never initializes the TPU backend, never loads AOT cache entries,
+and cannot be wedged by TPU-side environment drift (the round-1 artifact
+died on a libtpu AOT version mismatch it had no business touching).
+``__graft_entry__.dryrun_multichip`` runs this in a fresh subprocess so a
+driver that already initialized a TPU backend in-process cannot leak it here.
+"""
+
+from __future__ import annotations
+
+
+def run(n_devices: int) -> None:
+    """Dryrun body. Requires an already-initialized backend with at least
+    ``n_devices`` devices (CPU with --xla_force_host_platform_device_count)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from multihmr_tpu.config import ModelConfig, ViTConfig
+    from multihmr_tpu.bodymodel import synthetic_body_model
+    from multihmr_tpu.models.multihmr import MultiHMR
+    from multihmr_tpu.parallel import make_mesh, shard_params, batch_sharding
+    from multihmr_tpu.train.trainer import make_train_step
+
+    devices = jax.devices()
+    assert len(devices) >= n_devices, (
+        f"need {n_devices} devices, have {len(devices)} "
+        f"on backend {jax.default_backend()!r}"
+    )
+    model_parallel = 2 if n_devices % 2 == 0 and n_devices >= 2 else 1
+    mesh = make_mesh(n_devices, model_parallel=model_parallel, devices=devices)
+    data_size = n_devices // model_parallel
+
+    # Flagship-shaped config at toy scale: real 53-rot SMPL-X head layout,
+    # bf16 compute + remat like the real training config, 4 heads divisible
+    # by the model axis so Megatron TP sharding is non-trivial, 8×8 patch
+    # grid so the attention runs over 65 tokens (cls + g²).
+    cfg = ModelConfig(
+        backbone="dinov2_vits14",
+        img_size=112,
+        max_people=4,
+        person_center="head",
+        compute_dtype="bfloat16",
+        remat=True,
+        vit_override=ViTConfig(embed_dim=64, depth=2, num_heads=4),
+    )
+    bm = synthetic_body_model(num_vertices=64, num_joints=55, num_extra=21, num_lmk=51)
+    model = MultiHMR(cfg, bm, mesh=mesh, tp_mode="heads")
+
+    B, Kh, S = data_size, cfg.max_people, cfg.img_size
+    params = model.init_params(jax.random.PRNGKey(0), batch_size=1)
+    params = shard_params(mesh, params)
+
+    rng = np.random.default_rng(0)
+    Kmat = np.asarray(
+        [[100.0, 0, S / 2], [0, 100.0, S / 2], [0, 0, 1]], np.float32
+    )
+    batch_np = {
+        "image": rng.normal(size=(B, S, S, 3)).astype(np.float32),
+        "K": np.broadcast_to(Kmat, (B, 3, 3)).copy(),
+        "gt_pose": rng.normal(scale=0.2, size=(B, Kh, 53, 3)).astype(np.float32),
+        "gt_shape": rng.normal(size=(B, Kh, 10)).astype(np.float32),
+        "gt_transl": (
+            rng.normal(scale=0.3, size=(B, Kh, 3)) + np.array([0, 0, 3.0])
+        ).astype(np.float32),
+        "gt_valid": (rng.uniform(size=(B, Kh)) > 0.4).astype(np.float32),
+    }
+    # device_put from numpy directly onto the mesh sharding: nothing ever
+    # lands on a default device first.
+    batch = jax.device_put(batch_np, batch_sharding(mesh, batch_np))
+
+    optimizer = optax.adam(5e-6)  # reference lr, train.py:514
+    with mesh:
+        opt_state = jax.jit(optimizer.init)(params)
+        train_step = make_train_step(model, optimizer, donate=False)
+        params, opt_state, terms = train_step(params, opt_state, batch, 0)
+        total = float(terms["total"])
+    assert np.isfinite(total), f"non-finite loss: {terms}"
+
+    # Sequence-parallel (ring attention) forward on the same mesh.
+    sp_model = MultiHMR(cfg, bm, mesh=mesh, tp_mode="ring")
+    x = jax.device_put(batch_np["image"], batch_sharding(mesh))
+    Kb = jax.device_put(batch_np["K"], batch_sharding(mesh))
+    with mesh:
+        out = jax.jit(
+            lambda p, x, K: sp_model.forward(p, x, K)["v3d"]
+        )(params, x, Kb)
+    assert bool(jnp.all(jnp.isfinite(out))), "non-finite ring-attention output"
+
+    print(
+        f"dryrun_multichip OK: {n_devices} devices "
+        f"(data={data_size}, model={model_parallel}), TP train-step "
+        f"loss={total:.4f}, SP(ring) forward finite"
+    )
+
+
+def main(n_devices: int) -> None:
+    """Hermetic entry: force the CPU platform before first backend use.
+
+    This environment's sitecustomize force-registers the axon TPU backend and
+    sets ``jax_platforms="axon,cpu"`` programmatically — the JAX_PLATFORMS
+    env var is ignored, so the config must be overridden here.
+    """
+    import os
+
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n_devices}"
+        ).strip()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    assert jax.default_backend() == "cpu", jax.default_backend()
+    run(n_devices)
+
+
+if __name__ == "__main__":
+    import sys
+
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 8)

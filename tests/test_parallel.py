@@ -141,3 +141,74 @@ def test_tp_sharded_forward_matches_replicated():
     np.testing.assert_allclose(
         np.asarray(out["scores"]), np.asarray(ref["scores"]), atol=1e-5
     )
+
+    # Now THROUGH the model's mesh-aware shard_map dispatch (the path a real
+    # TPU mesh must take — XLA cannot auto-partition the Pallas custom call):
+    # heads-sharded TP and ring SP must both equal the replicated forward.
+    for tp_mode in ("heads", "ring"):
+        tp_model = MultiHMR(
+            cfg, bm, person_center_joint_names=names, mesh=mesh, tp_mode=tp_mode
+        )
+        with mesh:
+            out_tp = jax.jit(lambda p, x, K: tp_model.forward(p, x, K))(sp, xb, Kb)
+        np.testing.assert_allclose(
+            np.asarray(out_tp["v3d"]), np.asarray(ref["v3d"]), atol=5e-4,
+            err_msg=tp_mode,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_tp["scores"]), np.asarray(ref["scores"]), atol=1e-5,
+            err_msg=tp_mode,
+        )
+
+
+def test_tp_train_step_matches_replicated():
+    """One sharded train step through the mesh-aware attention dispatch must
+    produce the same loss as the unsharded step."""
+    import numpy as np
+    import jax
+    import optax
+    from multihmr_tpu.config import ModelConfig, ViTConfig
+    from multihmr_tpu.bodymodel import synthetic_body_model
+    from multihmr_tpu.models.multihmr import MultiHMR
+    from multihmr_tpu.parallel import shard_params, batch_sharding
+    from multihmr_tpu.train.trainer import make_train_step
+
+    cfg = ModelConfig(
+        backbone="dinov2_vits14", img_size=56, max_people=4, person_center="head",
+        compute_dtype="float32",
+        vit_override=ViTConfig(embed_dim=32, depth=2, num_heads=2),
+    )
+    bm = synthetic_body_model(num_vertices=64, num_joints=55, num_extra=21, num_lmk=51)
+    rng = np.random.default_rng(7)
+    B, Kh = 4, cfg.max_people
+    batch_np = {
+        "image": rng.normal(size=(B, 56, 56, 3)).astype(np.float32),
+        "K": np.broadcast_to(
+            np.array([[100.0, 0, 28], [0, 100, 28], [0, 0, 1]], np.float32), (B, 3, 3)
+        ).copy(),
+        "gt_pose": rng.normal(scale=0.2, size=(B, Kh, 53, 3)).astype(np.float32),
+        "gt_shape": rng.normal(size=(B, Kh, 10)).astype(np.float32),
+        "gt_transl": (
+            rng.normal(scale=0.3, size=(B, Kh, 3)) + np.array([0, 0, 3.0])
+        ).astype(np.float32),
+        "gt_valid": (rng.uniform(size=(B, Kh)) > 0.4).astype(np.float32),
+    }
+    optimizer = optax.adam(5e-6)
+
+    def one_step(model, params, batch):
+        opt_state = jax.jit(optimizer.init)(params)
+        step = make_train_step(model, optimizer, donate=False)
+        _, _, terms = step(params, opt_state, batch, 0)
+        return float(terms["total"])
+
+    base = MultiHMR(cfg, bm)
+    params = base.init_params(jax.random.PRNGKey(0))
+    ref_loss = one_step(base, params, jax.device_put(batch_np))
+
+    mesh = make_mesh(8, model_parallel=2)
+    tp_model = MultiHMR(cfg, bm, mesh=mesh, tp_mode="heads")
+    sp = shard_params(mesh, params)
+    batch = jax.device_put(batch_np, batch_sharding(mesh, batch_np))
+    with mesh:
+        tp_loss = one_step(tp_model, sp, batch)
+    np.testing.assert_allclose(tp_loss, ref_loss, rtol=1e-5)
