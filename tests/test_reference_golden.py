@@ -1,0 +1,620 @@
+"""Golden tests against the ACTUAL reference code at /root/reference.
+
+Unlike tests/test_cross_impl_parity.py (which compares to independently
+re-written torch math), every comparison target here is the reference's own
+module, imported from /root/reference and run on CPU torch:
+
+  * utils/camera.py:14-91        — camera projection stack
+  * blocks/camera_embed.py:39-57 — Fourier ray embedding
+  * loss.py:8-115                — CenterNet focal + L1 loss family
+  * blocks/cross_attn_transformer.py:11-359 — decoder stack (via the real
+    TransformerDecoder module inside our converter-mapped HPH), AdaLN,
+    token-dropout variants
+  * utils/training.py:9-225      — greedy matcher + PRF1
+  * model.py:612-643             — _sigmoid / _nms / apply_threshold
+  * utils/tensor_manip.py:7-45   — ragged rebatch/pad vs our static [B,K]
+  * multi_hmr_anny/pos_embed.py  — 2D sincos positional embedding
+
+Reference modules that only need torch/einops/numpy are loaded as standalone
+files (bypassing package __init__ chains); model.py is imported as a package
+with inert stubs for the non-installed externals (roma/smplx/pyrender/
+trimesh) — the stubs are never called, they only satisfy import statements.
+"""
+
+import importlib
+import importlib.util
+import pathlib
+import sys
+import types
+
+import numpy as np
+import pytest
+import torch
+import jax
+import jax.numpy as jnp
+
+REF = pathlib.Path("/root/reference")
+
+_loaded: dict = {}
+
+
+def load_ref_file(relpath: str):
+    """Load a reference source file as a standalone module (no package)."""
+    name = "refgold_" + relpath.replace("/", "_").removesuffix(".py")
+    if name not in _loaded:
+        spec = importlib.util.spec_from_file_location(name, REF / relpath)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        _loaded[name] = mod
+    return _loaded[name]
+
+
+def _stub_module(name, **attrs):
+    if name in sys.modules:
+        return sys.modules[name]
+    m = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(m, k, v)
+    sys.modules[name] = m
+    return m
+
+
+def load_ref_model_module():
+    """Import the reference's model.py as a package module, with stubs for
+    externals not installed here. Only module-level helpers are used."""
+    if "ref_model" in _loaded:
+        return _loaded["ref_model"]
+    from multihmr_tpu.bodymodel.constants import get_smplx_joint_names
+
+    _stub_module("roma")
+    smplx = _stub_module("smplx")
+    jn = _stub_module("smplx.joint_names", JOINT_NAMES=list(get_smplx_joint_names()))
+    smplx.joint_names = jn
+    _stub_module("pyrender")
+    _stub_module("trimesh")
+    sys.path.insert(0, str(REF))
+    try:
+        mod = importlib.import_module("model")
+    finally:
+        sys.path.remove(str(REF))
+    _loaded["ref_model"] = mod
+    return mod
+
+
+# ---------------------------------------------------------------------------
+# utils/camera.py
+# ---------------------------------------------------------------------------
+
+
+def test_camera_ops_vs_reference(rng):
+    ref = load_ref_file("utils/camera.py")
+    from multihmr_tpu.ops import camera as ours
+
+    B, N = 3, 17
+    x = rng.normal(size=(B, N, 3)).astype(np.float32) + np.array([0, 0, 4.0], np.float32)
+    K = np.broadcast_to(
+        np.array([[754.0, 0, 448], [0, 754.0, 448], [0, 0, 1]], np.float32), (B, 3, 3)
+    ).copy()
+    K[:, 0, 0] += rng.normal(scale=5, size=B)
+
+    tx, tK = torch.from_numpy(x), torch.from_numpy(K)
+    np.testing.assert_allclose(
+        np.asarray(ours.perspective_projection(jnp.asarray(x), jnp.asarray(K))),
+        ref.perspective_projection(tx, tK).numpy(),
+        atol=1e-4,
+    )
+
+    pts = rng.uniform(0, 896, size=(B, N, 2)).astype(np.float32)
+    dist = rng.uniform(1, 10, size=(B, N, 1)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(
+            ours.inverse_perspective_projection(
+                jnp.asarray(pts), jnp.asarray(K), jnp.asarray(dist)
+            )
+        ),
+        ref.inverse_perspective_projection(
+            torch.from_numpy(pts), tK, torch.from_numpy(dist)
+        ).numpy(),
+        atol=1e-5,
+    )
+
+    for fov, size in [(60, 512), (47.5, 896), (90, 224)]:
+        np.testing.assert_allclose(
+            ours.get_focal_length_from_fov(fov, size),
+            ref.get_focalLength_from_fieldOfView(fov, size),
+            rtol=1e-7,
+        )
+
+    v = rng.uniform(0.1, 20, size=(B, 5)).astype(np.float32)
+    f = rng.uniform(300, 900, size=(B, 1)).astype(np.float32)
+    tv, tf = torch.from_numpy(v), torch.from_numpy(f)
+    np.testing.assert_allclose(
+        np.asarray(ours.focal_length_normalization(jnp.asarray(v), jnp.asarray(f), 60, 448)),
+        ref.focal_length_normalization(tv, tf, fovn=60, img_size=448).numpy(),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(
+            ours.undo_focal_length_normalization(jnp.asarray(v), jnp.asarray(f), 60, 448)
+        ),
+        ref.undo_focal_length_normalization(tv, tf, fovn=60, img_size=448).numpy(),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours.log_depth(jnp.asarray(v))), ref.log_depth(tv).numpy(), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours.undo_log_depth(jnp.asarray(v))),
+        ref.undo_log_depth(tv).numpy(),
+        rtol=1e-6,
+    )
+
+
+# ---------------------------------------------------------------------------
+# blocks/camera_embed.py — Fourier ray features
+# ---------------------------------------------------------------------------
+
+
+def test_fourier_embedding_vs_reference(rng):
+    ref = load_ref_file("blocks/camera_embed.py")
+    from multihmr_tpu.ops.fourier import fourier_ray_features, fourier_channels
+
+    enc = ref.FourierPositionEncoding(n=3, num_bands=16, max_resolution=64)
+    assert enc.channels == fourier_channels(3, 16) == 99
+
+    rays = rng.normal(size=(2, 33, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = enc(torch.from_numpy(rays)).numpy()
+    got = np.asarray(fourier_ray_features(jnp.asarray(rays), 16, 64))
+    # sin(pi*x*32) amplifies fp32 input ulp ~100x -> allow 1e-4
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# multi_hmr_anny/pos_embed.py — 2D sincos
+# ---------------------------------------------------------------------------
+
+
+def test_sincos_pos_embed_vs_reference():
+    ref = load_ref_file("multi_hmr_anny/pos_embed.py")
+    from multihmr_tpu.ops.posenc import get_2d_sincos_pos_embed
+
+    for dim, grid, ncls in [(64, 8, 0), (128, 48, 1), (32, 5, 0)]:
+        np.testing.assert_allclose(
+            get_2d_sincos_pos_embed(dim, grid, n_cls_token=ncls),
+            ref.get_2d_sincos_pos_embed(dim, grid, n_cls_token=ncls),
+            atol=1e-6,
+        )
+
+
+# ---------------------------------------------------------------------------
+# model.py:612-643 — _sigmoid / _nms / apply_threshold (+ top-K ordering)
+# ---------------------------------------------------------------------------
+
+
+def test_sigmoid_nms_vs_reference(rng):
+    refm = load_ref_model_module()
+    from multihmr_tpu.ops.detection import clamped_sigmoid, nms_maxpool
+
+    logits = rng.normal(scale=4, size=(2, 1, 16, 16)).astype(np.float32)
+    want = refm._sigmoid(torch.from_numpy(logits.copy())).numpy()
+    got = np.asarray(clamped_sigmoid(jnp.asarray(logits)))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    heat = rng.uniform(size=(2, 1, 16, 16)).astype(np.float32)
+    for kernel in (2, 3, 4, 5):
+        want = refm._nms(torch.from_numpy(heat), kernel=kernel).numpy()[:, 0]
+        got = np.asarray(nms_maxpool(jnp.asarray(heat[:, 0]), kernel))
+        np.testing.assert_allclose(got, want, atol=0, err_msg=f"kernel={kernel}")
+
+
+def test_threshold_topk_ordering_vs_reference(rng):
+    """topk_detect's (batch, row, col) ordering must equal torch.where's
+    row-major order (reference model.py:612-617, consumed at :149-156)."""
+    refm = load_ref_model_module()
+    from multihmr_tpu.ops.detection import topk_detect
+
+    scores = rng.uniform(size=(3, 1, 8, 8)).astype(np.float32)
+    thresh = 0.9  # sparse enough to stay under the K=16 capacity
+    idx = refm.apply_threshold(thresh, torch.from_numpy(scores))
+    ref_triples = list(
+        zip(idx[0].numpy().tolist(), idx[2].numpy().tolist(), idx[3].numpy().tolist())
+    )
+
+    det = topk_detect(jnp.asarray(scores[:, 0]), thresh, max_people=16)
+    got_triples = []
+    valid = np.asarray(det.valid)
+    rows, cols = np.asarray(det.rows), np.asarray(det.cols)
+    for b in range(3):
+        for k in range(valid.shape[1]):
+            if valid[b, k] > 0:
+                got_triples.append((b, int(rows[b, k]), int(cols[b, k])))
+    assert got_triples == ref_triples
+
+
+# ---------------------------------------------------------------------------
+# loss.py — full loss family on ragged↔padded equivalent inputs
+# ---------------------------------------------------------------------------
+
+
+def _padded_scene(rng, B=3, K=5, g=8, nrot=53, J=12, V=40, img_size=112):
+    """Random padded [B,K] pred/gt pair + valid mask (one empty image)."""
+    valid = (rng.uniform(size=(B, K)) > 0.45).astype(np.float32)
+    valid[1] = 0.0  # an image with zero persons
+
+    def mk(shape, scale=1.0):
+        return (rng.normal(size=shape) * scale).astype(np.float32)
+
+    def both(shape, scale=1.0):
+        return mk(shape, scale), mk(shape, scale)
+
+    pred, gt = {}, {}
+    pred["scores"] = rng.uniform(1e-4, 1 - 1e-4, size=(B, g, g, 1)).astype(np.float32)
+    heat = np.zeros((B, g, g), np.float32)
+    for b in range(B):
+        for k in range(K):
+            if valid[b, k]:
+                heat[b, rng.integers(0, g), rng.integers(0, g)] = 1.0
+    gt["scores"] = heat[..., None]
+    pred["offset"], gt["offset"] = both((B, K, 2), 0.5)
+    pred["rotmat"], gt["rotmat"] = both((B, K, nrot, 3, 3))
+    pred["shape"], gt["shape"] = both((B, K, 10))
+    pred["dist_postprocessed"] = mk((B, K, 1))
+    gt["dist_postprocessed"] = mk((B, K))
+    pred["transl"], gt["transl"] = both((B, K, 3))
+    pred["transl_pelvis"], gt["transl_pelvis"] = both((B, K, 3))
+    pred["j3d"], gt["j3d"] = both((B, K, J, 3))
+    pred["v3d"], gt["v3d"] = both((B, K, V, 3))
+    # 2D points spread around the frame so the in-frame mask bites
+    pred["j2d"] = (rng.uniform(-30, img_size + 30, size=(B, K, J, 2))).astype(np.float32)
+    gt["j2d"] = (rng.uniform(-30, img_size + 30, size=(B, K, J, 2))).astype(np.float32)
+    pred["v2d"] = (rng.uniform(-30, img_size + 30, size=(B, K, V, 2))).astype(np.float32)
+    gt["v2d"] = (rng.uniform(-30, img_size + 30, size=(B, K, V, 2))).astype(np.float32)
+    gt["valid"] = valid
+    return pred, gt, valid
+
+
+def _flatten_valid(t, valid):
+    """Padded [B,K,...] → flat [P,...] in row-major order (torch.where)."""
+    return t[valid.astype(bool)]
+
+
+@pytest.mark.parametrize("epoch", [0, 10])
+def test_loss_vs_reference(rng, epoch):
+    ref_loss_mod = load_ref_file("loss.py")
+    from multihmr_tpu.train.loss import LossWeights, multihmr_loss
+
+    pred, gt, valid = _padded_scene(rng)
+    img_size = 112
+    weights = LossWeights()
+
+    args = types.SimpleNamespace(
+        alpha_bce=10.0, alpha_offset=1.0, alpha_rotmat=0.1, alpha_shape=1.0,
+        alpha_dist=1.0, alpha_transl=1.0, alpha_j3d=100.0, alpha_v3d=100.0,
+        alpha_j2d=1.0, alpha_v2d=1.0, start_2d_epoch=10,
+    )
+    ref_loss = ref_loss_mod.Loss(args)
+
+    t = lambda a: torch.from_numpy(np.asarray(a))
+    fl = lambda a: torch.from_numpy(_flatten_valid(a, valid))
+    y_hat = {
+        "scores": t(pred["scores"]),
+        "offset": fl(pred["offset"]),
+        "rotmat": fl(pred["rotmat"]),
+        "shape": fl(pred["shape"]),
+        "dist_postprocessed": fl(pred["dist_postprocessed"]),
+        "transl": fl(pred["transl"]),
+        "transl_pelvis": fl(pred["transl_pelvis"]),
+        "j3d": fl(pred["j3d"]),
+        "v3d": fl(pred["v3d"]),
+        "j2d": fl(pred["j2d"]),
+        "v2d": fl(pred["v2d"]),
+    }
+    # reference computes bce vs (y['scores'] >= 1).unsqueeze(-1); our gt
+    # heatmap is [B,g,g,1], so feed [B,g,g] to line up with the unsqueeze
+    y = {
+        "scores": t(gt["scores"][..., 0]),
+        "offset": fl(gt["offset"]),
+        "rotmat": fl(gt["rotmat"]),
+        "shape": fl(gt["shape"]),
+        "dist_postprocessed": fl(gt["dist_postprocessed"]),
+        "transl": fl(gt["transl"]),
+        "transl_pelvis": fl(gt["transl_pelvis"]),
+        "j3d": fl(gt["j3d"]),
+        "v3d": fl(gt["v3d"]),
+        "j2d": fl(gt["j2d"]),
+        "v2d": fl(gt["v2d"]),
+    }
+
+    with torch.no_grad():
+        total_ref, terms_ref = ref_loss(y_hat, y, epoch=epoch, img_size=img_size)
+
+    pj = lambda a: jnp.asarray(a)
+    total_ours, terms_ours = multihmr_loss(
+        {k: pj(v) for k, v in pred.items()},
+        {k: pj(v) for k, v in gt.items()},
+        weights, epoch=epoch, img_size=img_size,
+    )
+    for name in ["bce", "offset", "rotmat", "shape", "dist", "transl", "j3d", "v3d",
+                 "j2d", "v2d"]:
+        np.testing.assert_allclose(
+            float(terms_ours[name]), float(terms_ref[name]), rtol=2e-5, atol=1e-6,
+            err_msg=name,
+        )
+    np.testing.assert_allclose(float(total_ours), float(total_ref), rtol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# utils/training.py — greedy matcher + PRF1
+# ---------------------------------------------------------------------------
+
+
+def test_prf1_vs_reference():
+    ref = load_ref_file("utils/training.py")
+    from multihmr_tpu.train.metrics import compute_prf1
+
+    for count, miss, fp in [(0, 0, 0), (10, 0, 0), (10, 10, 0), (10, 3, 2),
+                            (7, 2, 5), (1, 0, 1)]:
+        assert compute_prf1(count, miss, fp) == ref.compute_prf1(count, miss, fp)
+
+
+def test_match_2d_greedy_vs_reference(rng):
+    ref = load_ref_file("utils/training.py")
+    from multihmr_tpu.train.metrics import match_2d_greedy
+
+    J = 8
+    for trial in range(25):
+        n_gt = int(rng.integers(0, 5))
+        n_pred = int(rng.integers(0, 5))
+        gt = [
+            (rng.uniform(20, 60, size=(J, 2)) + rng.uniform(0, 150, size=(1, 2))).astype(
+                np.float32
+            )
+            for _ in range(n_gt)
+        ]
+        preds = []
+        for i in range(n_pred):
+            if i < n_gt and rng.uniform() > 0.3:
+                preds.append(gt[i] + rng.normal(scale=3, size=(J, 2)).astype(np.float32))
+            else:  # spurious detection elsewhere
+                preds.append(
+                    (rng.uniform(20, 60, size=(J, 2)) + np.array([[400, 400]])).astype(
+                        np.float32
+                    )
+                )
+        vmask = []
+        for _ in range(n_gt):
+            m = rng.uniform(size=J) > 0.2
+            m[0] = True  # reference asserts vmask.sum() > 0
+            vmask.append(m)
+
+        got = match_2d_greedy(preds, gt, vmask)
+        want = ref.match_2d_greedy(preds, gt, vmask)
+        gm = sorted(map(tuple, np.asarray(got[0]).reshape(-1, 2).tolist()))
+        wm = sorted(map(tuple, np.asarray(want[0]).reshape(-1, 2).tolist()))
+        assert gm == wm, f"trial {trial}: match {gm} != {wm}"
+        assert sorted(got[1]) == sorted(want[1]), f"trial {trial}: FPs"
+        assert sorted(got[2]) == sorted(want[2]), f"trial {trial}: misses"
+
+
+# ---------------------------------------------------------------------------
+# utils/tensor_manip.py — ragged rebatch/pad vs our static [B,K] layout
+# ---------------------------------------------------------------------------
+
+
+def test_rebatch_pad_vs_reference(rng):
+    ref = load_ref_file("utils/tensor_manip.py")
+
+    B, K, C = 4, 5, 7
+    # front-packed valid slots — the layout our topk_detect always produces
+    # (valid detections first, invalid pushed to the end)
+    counts_np = np.array([3, 5, 0, 2])  # one empty image (non-consecutive;
+    # the reference's own comment admits 2-consecutive-empty breaks its fix)
+    valid = (np.arange(K)[None, :] < counts_np[:, None]).astype(np.float32)
+    padded = rng.normal(size=(B, K, C)).astype(np.float32) * valid[..., None]
+
+    # flat ragged view in row-major order (what torch.where produces)
+    vb = valid.astype(bool)
+    idx_b, idx_k = np.nonzero(vb)
+    x_central_flat = torch.from_numpy(padded[vb])
+    rows = rng.integers(0, 8, size=len(idx_b))
+    idx_det = (
+        torch.from_numpy(idx_b), torch.from_numpy(rows),
+        torch.from_numpy(rng.integers(0, 8, size=len(idx_b))),
+        torch.zeros(len(idx_b), dtype=torch.long),
+    )
+    counts, idx_det_0 = ref.rebatch(torch.from_numpy(idx_b), idx_det)
+    ref_padded, ref_mask = ref.pad_to_max(x_central_flat, counts)
+
+    # the reference drops empty images from the padded batch; ours keeps
+    # every image at full capacity K. Restrict to non-empty images + maxc.
+    nonempty = np.where(vb.any(axis=1))[0]
+    maxc = int(counts.max())
+    np.testing.assert_allclose(ref_padded.numpy(), padded[nonempty][:, :maxc])
+    np.testing.assert_allclose(ref_mask.numpy(), valid[nonempty][:, :maxc])
+    # rebatch's corrected batch indices = dense re-numbering of nonempty imgs
+    want_idx0 = np.searchsorted(nonempty, idx_b)
+    np.testing.assert_array_equal(idx_det_0.numpy(), want_idx0)
+
+
+# ---------------------------------------------------------------------------
+# blocks/cross_attn_transformer.py — decoder stack / AdaLN / token dropout
+# ---------------------------------------------------------------------------
+
+
+def test_hph_vs_reference_transformer_decoder(rng):
+    """Our HPH vs the reference's own TransformerDecoder nn.Module: the
+    decoder core is the actual reference code; the query/value-injection glue
+    around it replicates reference model.py:479-575 (validated separately in
+    test_cross_impl_parity)."""
+    cat = load_ref_file("blocks/cross_attn_transformer.py")
+    from multihmr_tpu.config import ModelConfig, ViTConfig
+    from multihmr_tpu.models.hph import HPH
+    from multihmr_tpu.io.checkpoint import convert_torch_checkpoint
+    from multihmr_tpu.ops.detection import Detections
+    from tests.test_checkpoint import make_reference_state_dict
+
+    TINY = ViTConfig(embed_dim=32, depth=2, num_heads=2)
+
+    class TinyConfig(ModelConfig):
+        @property
+        def vit(self):
+            return TINY
+
+    cfg = TinyConfig(img_size=56, max_people=4, compute_dtype="float32")
+    hph_cfg = cfg.hph
+    C = cfg.vit.embed_dim + cfg.camera_embed_dim
+
+    torch.manual_seed(0)
+    ref_dec = cat.TransformerDecoder(
+        num_tokens=1, token_dim=cfg.token_dim, dim=hph_cfg.dim,
+        depth=hph_cfg.depth, heads=hph_cfg.heads, mlp_dim=hph_cfg.mlp_dim,
+        dim_head=hph_cfg.dim_head, context_dim=C,
+    ).eval()
+
+    # splice the REAL reference decoder weights into a reference-named sd
+    sd = make_reference_state_dict(cfg, rng)
+    for k in list(sd):
+        if k.startswith("x_attention_head.transformer."):
+            del sd[k]
+    for k, v in ref_dec.state_dict().items():
+        sd["x_attention_head.transformer." + k] = v.numpy()
+    params = convert_torch_checkpoint(sd, cfg)
+
+    B, K, g = 2, cfg.max_people, cfg.grid_size
+    z_central = rng.normal(size=(B, K, C)).astype(np.float32)
+    kv_grid = rng.normal(size=(B, g, g, C)).astype(np.float32)
+    rows = rng.integers(0, g, size=(B, K)).astype(np.int32)
+    cols = rng.integers(0, g, size=(B, K)).astype(np.int32)
+    valid = np.array([[1, 1, 1, 0], [1, 0, 0, 0]], np.float32)
+    rows, cols = rows * valid.astype(np.int32), cols * valid.astype(np.int32)
+    rows[0, :3] = [1, 2, 3]  # distinct cells → scatter order irrelevant
+    z_central = z_central * valid[..., None]
+
+    det = Detections(
+        rows=jnp.asarray(rows), cols=jnp.asarray(cols),
+        scores=jnp.asarray(valid), valid=jnp.asarray(valid),
+    )
+    out = HPH(cfg).apply(
+        {"params": params["params"]["x_attention_head"]},
+        jnp.asarray(z_central), jnp.asarray(kv_grid), det,
+    )
+
+    # torch side: reference model.py glue + the REAL TransformerDecoder
+    xa = "x_attention_head."
+    t = lambda k: torch.from_numpy(sd[xa + k])
+    mask = torch.from_numpy(valid)
+    x_central = torch.from_numpy(z_central) + (
+        t("cross_queries_x")[rows] + t("cross_queries_y")[cols]
+    ) * mask[..., None]
+    kv = torch.from_numpy(kv_grid).clone()
+    vals = (t("cross_values_x")[rows] + t("cross_values_y")[cols]) * mask[..., None]
+    for b in range(B):
+        for k in range(K):
+            kv[b, rows[b, k], cols[b, k]] += vals[b, k]
+    context = kv.reshape(B, g * g, C)
+    token = torch.cat(
+        [x_central, t("init_body_pose").expand(B, K, -1),
+         t("init_betas").expand(B, K, -1), t("init_cam").expand(B, K, -1)], -1
+    )
+    with torch.no_grad():
+        token_out = ref_dec(token, context=context, mask=mask)
+        pose = token_out @ t("decpose.weight").T + t("decpose.bias") + t("init_body_pose")
+        betas = token_out @ t("decshape.weight").T + t("decshape.bias") + t("init_betas")
+        cam = token_out @ t("deccam.weight").T + t("deccam.bias") + t("init_cam")
+        expr = token_out @ t("decexpression.weight").T + t("decexpression.bias") + t(
+            "init_expression"
+        )
+
+    vm = valid.astype(bool)
+    kw = dict(rtol=2e-3, atol=1e-2)  # random weights → large activations
+    np.testing.assert_allclose(np.asarray(out["betas"])[vm], betas.numpy()[vm], **kw)
+    np.testing.assert_allclose(np.asarray(out["cam"])[vm], cam.numpy()[vm], **kw)
+    np.testing.assert_allclose(
+        np.asarray(out["expression"])[vm], expr.numpy()[vm], **kw
+    )
+    from multihmr_tpu.ops.rotations import rot6d_to_rotmat
+
+    rm_ref = np.asarray(
+        rot6d_to_rotmat(jnp.asarray(pose.numpy().reshape(B, K, cfg.nrot, 6)))
+    )
+    np.testing.assert_allclose(np.asarray(out["rotmat"])[vm], rm_ref[vm], atol=2e-3)
+
+
+def test_adaln_vs_reference(rng):
+    cat = load_ref_file("blocks/cross_attn_transformer.py")
+    from multihmr_tpu.models.hph import AdaptiveLayerNorm1D
+
+    D, Cc = 24, 10
+    torch.manual_seed(1)
+    ref = cat.AdaptiveLayerNorm1D(D, Cc)
+    # non-trivial conditioning projection (reference zero-inits it)
+    with torch.no_grad():
+        ref.linear.weight.normal_(std=0.3)
+        ref.linear.bias.normal_(std=0.1)
+
+    x = rng.normal(size=(3, 5, D)).astype(np.float32)
+    t_cond = rng.normal(size=(3, Cc)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x), torch.from_numpy(t_cond)).numpy()
+
+    flax_params = {
+        "LayerNorm_0": {
+            "scale": jnp.asarray(ref.norm.weight.detach().numpy()),
+            "bias": jnp.asarray(ref.norm.bias.detach().numpy()),
+        },
+        "linear": {
+            "kernel": jnp.asarray(ref.linear.weight.detach().numpy().T),
+            "bias": jnp.asarray(ref.linear.bias.detach().numpy()),
+        },
+    }
+    got = np.asarray(
+        AdaptiveLayerNorm1D(D, Cc).apply(
+            {"params": flax_params}, jnp.asarray(x), jnp.asarray(t_cond)
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_token_dropout_vs_reference(rng):
+    """Extremes where the stochastic masks are deterministic: p=0 (identity)
+    and p=1 (everything dropped). Our static-shape variant zeroes tokens
+    instead of physically shrinking the sequence (impossible under jit);
+    DropTokenDropout at p=1 removes all tokens in the reference, which our
+    all-zero keep mask represents."""
+    cat = load_ref_file("blocks/cross_attn_transformer.py")
+    from multihmr_tpu.models.hph import drop_token_dropout, zero_token_dropout
+
+    x = rng.normal(size=(2, 6, 4)).astype(np.float32)
+    key = jax.random.PRNGKey(0)
+
+    # p=0: identity in both implementations (training mode)
+    for ref_cls, ours in [
+        (cat.DropTokenDropout, drop_token_dropout),
+        (cat.ZeroTokenDropout, zero_token_dropout),
+    ]:
+        mod = ref_cls(p=0.0).train()
+        want = mod(torch.from_numpy(x.copy())).numpy()
+        got, keep = ours(key, jnp.asarray(x), 0.0)
+        np.testing.assert_allclose(np.asarray(got), want, atol=0)
+        assert np.all(np.asarray(keep) == 1)
+
+    # p=1 Zero: reference zeroes every token; ours must too
+    mod = cat.ZeroTokenDropout(p=1.0).train()
+    want = mod(torch.from_numpy(x.copy())).numpy()
+    got, keep = zero_token_dropout(key, jnp.asarray(x), 1.0)
+    np.testing.assert_allclose(np.asarray(got), want, atol=0)
+    assert np.all(want == 0) and np.all(np.asarray(keep) == 0)
+
+    # p=1 Drop: reference removes ALL tokens (empty sequence); our keep mask
+    # is all-false and the output all-zero — the static-shape encoding of it
+    mod = cat.DropTokenDropout(p=1.0).train()
+    want = mod(torch.from_numpy(x.copy()))
+    assert want.shape[1] == 0
+    got, keep = drop_token_dropout(key, jnp.asarray(x), 1.0)
+    assert np.all(np.asarray(keep) == 0) and np.all(np.asarray(got) == 0)
+
+    # eval()/p>0: reference dropouts are train-only; spot-check Zero p=0.7
+    mod = cat.ZeroTokenDropout(p=0.7).eval()
+    want = mod(torch.from_numpy(x.copy())).numpy()
+    np.testing.assert_allclose(want, x, atol=0)
