@@ -62,10 +62,20 @@ def build_model(
     """
     if cfg is None and "anny" in name:
         from multihmr_tpu.models.multihmr_anny import AnnyConfig, MultiHMRAnny
-        from multihmr_tpu.bodymodel.anny import synthetic_anny_model
+        from multihmr_tpu.bodymodel.anny import load_anny_npz, synthetic_anny_model
 
         acfg = AnnyConfig(backbone="dinov2_vitl14", img_size=672)
-        model = MultiHMRAnny(acfg, synthetic_anny_model())
+        # converted real asset (tools/convert_anny.py) if present, else the
+        # synthetic stand-in so everything still runs end-to-end
+        anny_path = os.environ.get(
+            "ANNY_NPZ", os.path.join(smplx_dir or SMPLX_DIR, "anny.npz")
+        )
+        bm_anny = (
+            load_anny_npz(anny_path)
+            if os.path.exists(anny_path)
+            else synthetic_anny_model()
+        )
+        model = MultiHMRAnny(acfg, bm_anny)
         params = None
         if checkpoint is not None:
             from multihmr_tpu.io.checkpoint import convert_torch_checkpoint_anny

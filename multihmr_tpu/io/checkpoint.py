@@ -36,9 +36,12 @@ from multihmr_tpu.ops.posenc import interpolate_dinov2_pos_embed
 def config_from_ckpt_args(args: Mapping[str, Any], max_people: int = 16) -> ModelConfig:
     """Map a reference ``ckpt['args']`` namespace-dict onto ModelConfig."""
     get = lambda k, d: args.get(k, d) if isinstance(args, dict) else getattr(args, k, d)
+    img_size = get("img_size", 896)
+    if isinstance(img_size, (list, tuple)):  # stored as a list (demo.py:99)
+        img_size = img_size[0]
     return ModelConfig(
         backbone=get("backbone", "dinov2_vitb14"),
-        img_size=int(get("img_size", 896)),
+        img_size=int(img_size),
         camera_embedding_num_bands=int(get("camera_embedding_num_bands", 16)),
         camera_embedding_max_resolution=int(get("camera_embedding_max_resolution", 64)),
         nearness=bool(get("nearness", True)),
@@ -54,6 +57,78 @@ def config_from_ckpt_args(args: Mapping[str, Any], max_people: int = 16) -> Mode
 def _t(w: np.ndarray) -> np.ndarray:
     """torch Linear weight [out, in] → flax kernel [in, out]."""
     return np.ascontiguousarray(w.T)
+
+
+def expected_reference_keys(cfg: ModelConfig) -> set:
+    """Every state-dict key :func:`convert_torch_checkpoint` consumes, for a
+    given config — the contract with the reference's naming (hub-DINOv2
+    backbone + model.py heads). Used to report ALL missing keys up front
+    instead of dying on the first ``KeyError``."""
+    keys = set()
+    bb = "backbone.encoder."
+    keys |= {
+        bb + "patch_embed.proj.weight", bb + "patch_embed.proj.bias",
+        bb + "cls_token", bb + "pos_embed", bb + "norm.weight", bb + "norm.bias",
+    }
+    for i in range(cfg.vit.depth):
+        b = f"{bb}blocks.{i}."
+        keys |= {
+            b + "norm1.weight", b + "norm1.bias",
+            b + "attn.qkv.weight", b + "attn.qkv.bias",
+            b + "attn.proj.weight", b + "attn.proj.bias",
+            b + "ls1.gamma", b + "ls2.gamma",
+            b + "norm2.weight", b + "norm2.bias",
+            b + "mlp.fc1.weight", b + "mlp.fc1.bias",
+            b + "mlp.fc2.weight", b + "mlp.fc2.bias",
+        }
+    for m in ("mlp_classif", "mlp_offset"):
+        keys |= {f"{m}.0.weight", f"{m}.0.bias", f"{m}.2.weight", f"{m}.2.bias"}
+    xa = "x_attention_head."
+    keys |= {
+        xa + "cross_queries_x", xa + "cross_queries_y",
+        xa + "cross_values_x", xa + "cross_values_y",
+        xa + "init_body_pose", xa + "init_betas", xa + "init_cam",
+        xa + "init_expression",
+        xa + "transformer.to_token_embedding.weight",
+        xa + "transformer.to_token_embedding.bias",
+        xa + "transformer.pos_embedding",
+    }
+    for d in ("decpose", "decshape", "deccam", "decexpression"):
+        keys |= {xa + d + ".weight", xa + d + ".bias"}
+    for i in range(cfg.xat_depth):
+        layer = f"{xa}transformer.transformer.layers.{i}."
+        keys |= {
+            layer + "0.norm.weight", layer + "0.norm.bias",
+            layer + "0.fn.to_qkv.weight",
+            layer + "0.fn.to_out.0.weight", layer + "0.fn.to_out.0.bias",
+            layer + "1.norm.weight", layer + "1.norm.bias",
+            layer + "1.fn.to_kv.weight", layer + "1.fn.to_q.weight",
+            layer + "1.fn.to_out.0.weight", layer + "1.fn.to_out.0.bias",
+            layer + "2.norm.weight", layer + "2.norm.bias",
+            layer + "2.fn.net.0.weight", layer + "2.fn.net.0.bias",
+            layer + "2.fn.net.3.weight", layer + "2.fn.net.3.bias",
+        }
+    return keys
+
+
+# Keys the reference checkpoint may carry that the JAX model intentionally
+# has no use for (buffers, stripped smpl layer) — reported as info, never
+# warnings.
+_IGNORABLE = re.compile(
+    r"^smpl_layer|init_betas_kid$|^backbone\.encoder\.mask_token$"
+)
+
+
+def validate_reference_state_dict(sd: Mapping[str, Any], cfg: ModelConfig) -> dict:
+    """{'missing': sorted list, 'unexpected': sorted list, 'ignored': list}."""
+    expected = expected_reference_keys(cfg)
+    present = set(sd.keys())
+    ignored = sorted(k for k in present - expected if _IGNORABLE.search(k))
+    return {
+        "missing": sorted(expected - present),
+        "unexpected": sorted(k for k in present - expected if not _IGNORABLE.search(k)),
+        "ignored": ignored,
+    }
 
 
 def convert_torch_checkpoint(ckpt_or_path, cfg: ModelConfig) -> dict:
@@ -75,6 +150,31 @@ def convert_torch_checkpoint(ckpt_or_path, cfg: ModelConfig) -> dict:
         for k, v in sd.items()
         if not k.startswith("smpl_layer")  # stripped at save anyway (train.py:197-201)
     }
+
+    # strict=False semantics (reference demo.py:103): tolerate and REPORT key
+    # mismatches instead of dying on the first access. Missing keys are fatal
+    # (we have no init values to fall back to) but all listed at once.
+    report = validate_reference_state_dict(sd, cfg)
+    if report["missing"]:
+        raise KeyError(
+            f"checkpoint is missing {len(report['missing'])} expected keys for "
+            f"config (backbone={cfg.backbone}, img={cfg.img_size}, "
+            f"betas={cfg.num_betas}, xat_depth={cfg.xat_depth}):\n  "
+            + "\n  ".join(report["missing"][:40])
+            + ("\n  ..." if len(report["missing"]) > 40 else "")
+            + "\nLikely a config/checkpoint mismatch — rebuild the config via "
+            "config_from_ckpt_args(ckpt['args'])."
+        )
+    if report["unexpected"]:
+        import warnings
+
+        warnings.warn(
+            f"{len(report['unexpected'])} unexpected checkpoint keys ignored "
+            f"(strict=False, reference demo.py:103): "
+            + ", ".join(report["unexpected"][:10])
+            + ("..." if len(report["unexpected"]) > 10 else ""),
+            stacklevel=2,
+        )
 
     vit = cfg.vit
     g = cfg.grid_size
@@ -196,6 +296,19 @@ def convert_torch_checkpoint(ckpt_or_path, cfg: ModelConfig) -> dict:
     return {"params": params}
 
 
+class _HintingSD(dict):
+    """dict whose KeyError names the missing checkpoint key and lists the
+    same-prefix keys that DO exist — conversion failures localize instantly."""
+
+    def __missing__(self, k):
+        prefix = k.split(".")[0]
+        near = sorted(x for x in self if x.startswith(prefix))[:8]
+        raise KeyError(
+            f"checkpoint key {k!r} not found; available keys with prefix "
+            f"{prefix!r}: {near if near else sorted(self)[:8]}"
+        )
+
+
 def convert_torch_checkpoint_anny(ckpt_or_path, cfg) -> dict:
     """Convert an Anny-variant checkpoint (``multiHMR_*_anny``; reference
     multi_hmr_anny/multi_hmr.py naming) to flax params for
@@ -207,11 +320,13 @@ def convert_torch_checkpoint_anny(ckpt_or_path, cfg) -> dict:
     else:
         ckpt = ckpt_or_path
     sd = ckpt.get("model_state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
-    sd = {
-        k: (v.numpy() if hasattr(v, "numpy") else np.asarray(v))
-        for k, v in sd.items()
-        if not k.startswith("body_model")
-    }
+    sd = _HintingSD(
+        {
+            k: (v.numpy() if hasattr(v, "numpy") else np.asarray(v))
+            for k, v in sd.items()
+            if not k.startswith("body_model")
+        }
+    )
     vit = cfg.vit
     g = cfg.grid_size
     bb = "encoder.backbone."

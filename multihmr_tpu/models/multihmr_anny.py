@@ -271,14 +271,26 @@ def _default_init_pose(n_joints: int) -> jax.Array:
 
 @dataclasses.dataclass
 class MultiHMRAnny:
-    """Config + net + Anny body model with jit-able forward."""
+    """Config + net + Anny body model with jit-able forward.
+
+    ``person_center_idx`` is resolved from the body model's real bone labels
+    (reference multi_hmr_anny/multi_hmr.py:72 ``bone_labels.index(...)``);
+    pass an explicit index only to override.
+    """
 
     cfg: AnnyConfig
     body_model: AnnyModel
-    person_center_idx: int = 15
+    person_center_idx: Optional[int] = None
 
     def __post_init__(self):
         self.net = MultiHMRAnnyNet(self.cfg)
+        if self.person_center_idx is None:
+            self.person_center_idx = self.body_model.person_center_index(
+                self.cfg.person_center
+            )
+        # shape-vector positions of the used phenotypes, by label (reference
+        # multi_hmr_anny/multi_hmr.py:170-172 iterates phenotype_labels)
+        self._pheno_idx = self.body_model.used_phenotype_indices()
 
     def init_params(self, rng_key, batch_size: int = 1):
         x = jnp.zeros((batch_size, self.cfg.img_size, self.cfg.img_size, 3))
@@ -303,8 +315,8 @@ class MultiHMRAnny:
         flat = lambda t: t.reshape((B * Kcap,) + t.shape[2:])
         homo = rotation_to_homogeneous(flat(out["rotmat"]))
         phen = {
-            name: flat(out["shape"])[:, i]
-            for i, name in enumerate(USED_PHENOTYPES)
+            name: flat(out["shape"])[:, idx]
+            for name, idx in zip(USED_PHENOTYPES, self._pheno_idx)
         }
         body = anny_forward(self.body_model, homo, phen)
         v3d = body["vertices"]

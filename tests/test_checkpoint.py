@@ -172,3 +172,79 @@ def test_save_load_prune(tmp_path, rng):
     a = jax.tree_util.tree_leaves(params)[0]
     b = jax.tree_util.tree_leaves(loaded)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_config_from_ckpt_args_list_img_size():
+    """Real checkpoints store img_size as a list (reference demo.py:99
+    `kwargs['img_size'] = ckpt['args'].img_size[0]`)."""
+    cfg = config_from_ckpt_args(
+        {"backbone": "dinov2_vitl14", "img_size": [896], "num_betas": 11}
+    )
+    assert cfg.img_size == 896 and cfg.num_betas == 11
+
+
+def test_validate_state_dict_reporting(rng):
+    from multihmr_tpu.io.checkpoint import validate_reference_state_dict
+
+    cfg = TinyConfig(img_size=56, max_people=4, compute_dtype="float32")
+    sd = make_reference_state_dict(cfg, rng)
+    report = validate_reference_state_dict(sd, cfg)
+    assert report["missing"] == []
+    assert report["unexpected"] == []
+    # init_betas_kid is a reference buffer we intentionally don't consume
+    assert "x_attention_head.init_betas_kid" in report["ignored"]
+
+    sd2 = dict(sd)
+    del sd2["x_attention_head.decpose.weight"]
+    sd2["totally.bogus.key"] = np.zeros(3, np.float32)
+    report = validate_reference_state_dict(sd2, cfg)
+    assert report["missing"] == ["x_attention_head.decpose.weight"]
+    assert report["unexpected"] == ["totally.bogus.key"]
+
+
+def test_convert_missing_key_lists_all(rng):
+    import pytest
+
+    cfg = TinyConfig(img_size=56, max_people=4, compute_dtype="float32")
+    sd = make_reference_state_dict(cfg, rng)
+    del sd["x_attention_head.decpose.weight"]
+    del sd["mlp_classif.0.bias"]
+    with pytest.raises(KeyError) as exc:
+        convert_torch_checkpoint({"model_state_dict": sd}, cfg)
+    msg = str(exc.value)
+    assert "x_attention_head.decpose.weight" in msg
+    assert "mlp_classif.0.bias" in msg
+    assert "config_from_ckpt_args" in msg
+
+
+def test_convert_unexpected_key_warns(rng):
+    import warnings
+
+    cfg = TinyConfig(img_size=56, max_people=4, compute_dtype="float32")
+    sd = make_reference_state_dict(cfg, rng)
+    sd["some.new.head.weight"] = np.zeros((3, 3), np.float32)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        params = convert_torch_checkpoint({"model_state_dict": sd}, cfg)
+    assert params is not None
+    assert any("some.new.head.weight" in str(x.message) for x in w)
+
+
+def test_convert_num_betas_11(rng):
+    """The 1288/bedlam configs use num_betas=11 (reference model.py:389
+    `assert num_betas in [10, 11]`)."""
+    cfg = TinyConfig(
+        img_size=56, max_people=4, person_center="j5",
+        compute_dtype="float32", num_betas=11,
+    )
+    sd = make_reference_state_dict(cfg, rng)
+    assert sd["x_attention_head.init_betas"].shape == (1, 11)
+    params = convert_torch_checkpoint({"model_state_dict": sd}, cfg)
+    bm = synthetic_body_model(num_betas=11)
+    names = [f"j{i}" for i in range(bm.num_output_joints)]
+    model = MultiHMR(cfg, bm, person_center_joint_names=names)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 56, 56, 3))
+    K = jnp.asarray(np.array([[[100.0, 0, 28], [0, 100, 28], [0, 0, 1]]], np.float32))
+    out = model.forward(params, x, K)
+    assert out["shape"].shape[-1] == 11
+    assert np.isfinite(np.asarray(out["v3d"])).all()
