@@ -21,7 +21,8 @@ import tempfile
 import numpy as np
 
 
-def build_infer(model_name: str, ckpt, model=None, params=None):
+def build_infer(model_name: str, ckpt, model=None, params=None, cache_dir=None,
+                cache_max_entries: int = 50):
     import jax
     import jax.numpy as jnp
 
@@ -40,10 +41,46 @@ def build_infer(model_name: str, ckpt, model=None, params=None):
     faces = np.asarray(model.body_model.faces)
     fwd_cache = {}
 
+    def _cache_paths(img, det_thresh, nms_kernel_size, fov):
+        """Per-example result cache (reference app.py:83-103 keys results by
+        example basename + params; we key by image content hash so repeated
+        uploads of the same image hit too, pruned to ``cache_max_entries``)."""
+        import hashlib
+
+        h = hashlib.sha1(np.ascontiguousarray(img).tobytes()).hexdigest()[:16]
+        base = (
+            f"{h}_{model_name}_thresh{int(det_thresh * 100)}"
+            f"_nms{int(nms_kernel_size)}_fov{int(fov)}"
+        )
+        return (
+            os.path.join(cache_dir, base + ".png"),
+            os.path.join(cache_dir, base + ".glb"),
+        )
+
+    def _prune_cache():
+        entries = sorted(
+            (os.path.join(cache_dir, f) for f in os.listdir(cache_dir)),
+            key=os.path.getmtime,
+        )
+        for old in entries[: max(0, len(entries) - 2 * cache_max_entries)]:
+            try:
+                os.remove(old)
+            except OSError:
+                pass
+
     def infer(img: np.ndarray, det_thresh: float = 0.3, nms_kernel_size: int = 3,
               fov: float = 60):
         """img: HWC uint8. Returns (overlay uint8, glb bytes, n_persons)."""
         from PIL import Image, ImageOps
+
+        if cache_dir is not None:
+            os.makedirs(cache_dir, exist_ok=True)
+            png_fn, glb_fn = _cache_paths(img, det_thresh, nms_kernel_size, fov)
+            if os.path.exists(png_fn) and os.path.exists(glb_fn):
+                cached = Image.open(png_fn)
+                count = int(cached.info.get("n_persons", -1))
+                with open(glb_fn, "rb") as f:
+                    return np.asarray(cached.convert("RGB")), f.read(), count
 
         pil = Image.fromarray(img).convert("RGB")
         S = model.cfg.img_size
@@ -62,8 +99,18 @@ def build_infer(model_name: str, ckpt, model=None, params=None):
         K_full = rescale_K_to_original(K, pil.size[0], pil.size[1], S)
         overlay, _ = overlay_human_meshes(humans, faces, K_full, pil)
         glb = create_glb_scene(
-            [np.asarray(h["v3d"]) for h in humans], [faces] * len(humans)
+            [np.asarray(h["v3d"]) for h in humans], [faces] * len(humans),
+            img=resized, focal=float(np.asarray(K)[0, 0, 0]),
         )
+        if cache_dir is not None:
+            from PIL.PngImagePlugin import PngInfo
+
+            meta = PngInfo()
+            meta.add_text("n_persons", str(len(humans)))
+            Image.fromarray(overlay).save(png_fn, pnginfo=meta)
+            with open(glb_fn, "wb") as f:
+                f.write(glb)
+            _prune_cache()
         return overlay, glb, len(humans)
 
     return infer, model
@@ -113,9 +160,17 @@ def main():
     p.add_argument("--model_name", type=str, default="multiHMR_672_S")
     p.add_argument("--ckpt", type=str, default=None)
     p.add_argument("--port", type=int, default=7860)
+    p.add_argument(
+        "--cache_dir",
+        type=str,
+        default=os.path.join(tempfile.gettempdir(), "multihmr_tpu_results"),
+        help="per-example result cache (reference app.py:97-103); '' disables",
+    )
     args = p.parse_args()
 
-    infer, model = build_infer(args.model_name, args.ckpt)
+    infer, model = build_infer(
+        args.model_name, args.ckpt, cache_dir=args.cache_dir or None
+    )
     try:
         import gradio as gr
     except ImportError:

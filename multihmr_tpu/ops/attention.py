@@ -39,7 +39,8 @@ _NEG = -1e30  # finite "masked" logit: exp(_NEG - m) underflows to 0
 
 
 def _flash_kernel(
-    q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale, kv_steps, bkv, kv_len
+    q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
+    *, scale, kv_steps, bkv, kv_len,
 ):
     """One (batch*head, q-block) program; grid dim 2 walks the kv blocks.
 
@@ -82,13 +83,30 @@ def _flash_kernel(
     @pl.when(kv_i == kv_steps - 1)
     def _finalize():
         o_ref[0] = (acc_ref[:] / l_ref[:, 0][:, None]).astype(o_ref.dtype)
+        # log-sum-exp per query row — the backward kernels reconstruct the
+        # probabilities from it without re-running the online softmax
+        lse_ref[0, :, 0] = m_ref[:, 0] + jnp.log(l_ref[:, 0])
+
+
+def _choose_blocks(N, block_q, block_kv, pad_to):
+    """(Np, bq, bkv) block/padding choice shared by forward and backward."""
+    if pad_to is not None:  # explicit tuning override
+        assert pad_to >= N and pad_to % block_q == 0 and pad_to % block_kv == 0
+        return pad_to, block_q, block_kv
+    Np, blk = _pad_and_block(N, max(block_q, block_kv))
+    bq = blk
+    bkv = blk
+    for b in range(blk, min(Np, 2560) + 1, 8):
+        if Np % b == 0:
+            bkv = b
+    return Np, bq, bkv
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("block_q", "block_kv", "scale", "interpret", "pad_to"),
 )
-def flash_attention(
+def _flash_fwd_impl(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
@@ -97,8 +115,8 @@ def flash_attention(
     block_kv: int = 512,
     interpret: bool = False,
     pad_to: int | None = None,
-) -> jax.Array:
-    """Pallas TPU flash attention, ``[B, H, N, Dh]`` → ``[B, H, N, Dh]``.
+):
+    """Pallas TPU flash attention, ``[B, H, N, Dh]`` → (out, lse ``[B,H,N]``).
 
     N must be divisible by the block sizes (callers pad; ViT grids 2304/4096/
     8464 divide 256/512 after padding 8464→8704 if needed). Head dim should
@@ -112,24 +130,13 @@ def flash_attention(
     # 2305→2432=2^7·19 would force degenerate 128-blocks). Choose the
     # SMALLEST lane-aligned padded length admitting a ≥256 block: attention
     # FLOPs scale with Np², so 4097→4224 (+6%, 384-blocks) beats 4097→4608
-    # (+26%, 512-blocks). Padded keys are masked inside the kernel, padded
-    # query rows are sliced off afterwards.
-    if pad_to is not None:  # explicit tuning override
-        assert pad_to >= N and pad_to % block_q == 0 and pad_to % block_kv == 0
-        Np, bq, bkv = pad_to, block_q, block_kv
-    else:
-        Np, blk = _pad_and_block(N, max(block_q, block_kv))
-        bq = blk
-        # large kv blocks amortize per-step softmax/correction overhead
-        # (swept on v5e: bq=384/bkv=2112 at Np=4224 is ~2x square blocks;
-        # bkv=2560 full-kv wins at Np=2560); cap 2560 keeps the fp32
-        # [bq, bkv] logits tile within VMEM.
-        # kv is a SUBLANE dim (blocks are [1, bkv, D]) → multiples of 8
-        # suffice, so e.g. 2112 | 4224 is admissible.
-        bkv = blk
-        for b in range(blk, min(Np, 2560) + 1, 8):
-            if Np % b == 0:
-                bkv = b
+    # (+26%, 512-blocks). Large kv blocks amortize per-step softmax/
+    # correction overhead (swept on v5e: bq=384/bkv=2112 at Np=4224 is ~2x
+    # square blocks); cap 2560 keeps the fp32 [bq, bkv] logits tile within
+    # VMEM. kv is a SUBLANE dim (blocks are [1, bkv, D]) → multiples of 8
+    # suffice. Padded keys are masked inside the kernel, padded query rows
+    # are sliced off afterwards.
+    Np, bq, bkv = _choose_blocks(N, block_q, block_kv, pad_to)
     if Np != N:
         pad = [(0, 0), (0, 0), (0, Np - N), (0, 0)]
         q = jnp.pad(q, pad)
@@ -142,7 +149,7 @@ def flash_attention(
     vf = v.reshape(B * H, Np, D)
 
     grid = (B * H, Np // bq, kv_steps)
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(
             _flash_kernel, scale=scale, kv_steps=kv_steps, bkv=bkv, kv_len=N
         ),
@@ -152,8 +159,16 @@ def flash_attention(
             pl.BlockSpec((1, bkv, D), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, bkv, D), lambda b, i, j: (b, j, 0)),
         ],
-        out_specs=pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((B * H, Np, D), q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0)),
+            # [BH, Np, 1] layout: a bare (1, bq) block violates the TPU
+            # (8, 128)-alignment rule on the trailing dims
+            pl.BlockSpec((1, bq, 1), lambda b, i, j: (b, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, Np, D), q.dtype),
+            jax.ShapeDtypeStruct((B * H, Np, 1), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((bq, D), jnp.float32),
             pltpu.VMEM((bq, 1), jnp.float32),
@@ -165,7 +180,27 @@ def flash_attention(
         interpret=interpret,
     )(qf, kf, vf)
     out = out.reshape(B, H, Np, D)
-    return out[:, :, :N] if Np != N else out
+    lse = lse.reshape(B, H, Np)
+    if Np != N:
+        out, lse = out[:, :, :N], lse[:, :, :N]
+    return out, lse
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: float | None = None,
+    block_q: int = 512,
+    block_kv: int = 512,
+    interpret: bool = False,
+    pad_to: int | None = None,
+) -> jax.Array:
+    """Pallas TPU flash attention, ``[B, H, N, Dh]`` → ``[B, H, N, Dh]``."""
+    return _flash_fwd_impl(
+        q, k, v, scale=scale, block_q=block_q, block_kv=block_kv,
+        interpret=interpret, pad_to=pad_to,
+    )[0]
 
 
 def _pad_and_block(n: int, target: int) -> tuple[int, int]:
@@ -184,36 +219,198 @@ def _pad_and_block(n: int, target: int) -> tuple[int, int]:
     return np_cap, target
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def flash_attention_trainable(q, k, v, scale=None):
-    """Differentiable wrapper: Pallas kernel forward, analytic XLA backward.
+def _flash_bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref, dq_ref, acc_ref,
+    *, scale, kv_steps, bkv, kv_len,
+):
+    """dQ: one (batch*head, q-block) program; grid dim 2 walks kv blocks.
 
-    ``pallas_call`` has no automatic VJP, so training paths route through
-    this wrapper: the backward pass recomputes probabilities (fp32 softmax)
-    and applies the closed-form softmax-attention gradients —
-    flash-style memory in fwd, standard O(N²) recompute in bwd (which is
-    where XLA would be anyway without a bwd kernel).
+    p = exp(q·kᵀ·scale − lse); dp = dO·vᵀ; ds = p·(dp − D); dq += ds·k·scale
+    where D = rowsum(dO ⊙ O) is precomputed on the host side of the call.
     """
-    return flash_attention(q, k, v, scale=scale)
+    kv_i = pl.program_id(2)
+
+    @pl.when(kv_i == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]  # [Bq, D]
+    k = k_ref[0]  # [Bk, D]
+    v = v_ref[0]
+    do = do_ref[0].astype(jnp.float32)  # [Bq, D]
+    lse = lse_ref[0, :, 0]  # [Bq]
+    dd = dd_ref[0, :, 0]  # [Bq]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    p = jnp.exp(s - lse[:, None])  # [Bq, Bk] fp32
+    if kv_len % bkv != 0:  # zero padded keys (only the tail block has them)
+        col = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1) + kv_i * bkv
+        p = jnp.where(col < kv_len, p, 0.0)
+    dp = jax.lax.dot_general(
+        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [Bq, Bk]
+    ds = p * (dp - dd[:, None]) * scale
+    acc_ref[:] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(kv_i == kv_steps - 1)
+    def _finalize():
+        dq_ref[0] = acc_ref[:].astype(dq_ref.dtype)
 
 
-def _fa_fwd(q, k, v, scale):
-    return flash_attention(q, k, v, scale=scale), (q, k, v)
+def _flash_bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref, dk_ref, dv_ref,
+    dk_acc, dv_acc, *, scale, q_steps, bkv, kv_len,
+):
+    """dK/dV: one (batch*head, kv-block) program; grid dim 2 walks q blocks.
+
+    dv += pᵀ·dO; ds = p·(dp − D); dk += dsᵀ·q·scale. Padded q rows need no
+    mask: their dO is zero so both contributions vanish.
+    """
+    q_i = pl.program_id(2)
+
+    @pl.when(q_i == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0]  # [Bq, D]
+    k = k_ref[0]  # [Bk, D]
+    v = v_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, :, 0]
+    dd = dd_ref[0, :, 0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    p = jnp.exp(s - lse[:, None])  # [Bq, Bk]
+    kv_j = pl.program_id(1)
+    if kv_len % bkv != 0:
+        col = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1) + kv_j * bkv
+        p = jnp.where(col < kv_len, p, 0.0)
+    dv_acc[:] += jax.lax.dot_general(
+        p.astype(do_ref.dtype), do_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [Bk, D]
+    dp = jax.lax.dot_general(
+        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = (p * (dp - dd[:, None]) * scale).astype(q.dtype)
+    dk_acc[:] += jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(q_i == q_steps - 1)
+    def _finalize():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-def _fa_bwd(scale, res, g):
-    q, k, v = res
-    sc = q.shape[-1] ** -0.5 if scale is None else scale
-    s = jnp.einsum("bhnd,bhmd->bhnm", q, k) * sc
-    p = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
-    g32 = g.astype(jnp.float32)
-    v32 = v.astype(jnp.float32)
-    dv = jnp.einsum("bhnm,bhnd->bhmd", p, g32)
-    dp = jnp.einsum("bhnd,bhmd->bhnm", g32, v32)
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jnp.einsum("bhnm,bhmd->bhnd", ds, k.astype(jnp.float32)) * sc
-    dk = jnp.einsum("bhnm,bhnd->bhmd", ds, q.astype(jnp.float32)) * sc
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "block_kv", "interpret", "pad_to")
+)
+def _flash_bwd_impl(
+    q, k, v, o, lse, do, scale=None, block_q=512, block_kv=512,
+    interpret=False, pad_to=None,
+):
+    """Flash-attention backward: O(N·block) memory, no [N, N] materialization
+    (the round-1 XLA backward allocated the full fp32 probability matrix —
+    ~0.3 GB per head-slice at 1288², killing large-resolution training)."""
+    B, H, N, D = q.shape
+    if scale is None:
+        scale = D ** -0.5
+    Np, bq, bkv = _choose_blocks(N, block_q, block_kv, pad_to)
+    dd = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)  # [B,H,N]
+    if Np != N:
+        pad4 = [(0, 0), (0, 0), (0, Np - N), (0, 0)]
+        pad3 = [(0, 0), (0, 0), (0, Np - N)]
+        q, k, v, do = (jnp.pad(t, pad4) for t in (q, k, v, do))
+        lse, dd = jnp.pad(lse, pad3), jnp.pad(dd, pad3)
+    kv_steps = Np // bkv
+    q_steps = Np // bq
+
+    flat4 = lambda t: t.reshape(B * H, Np, D)
+    flat3 = lambda t: t.reshape(B * H, Np, 1)
+    qf, kf, vf, dof = flat4(q), flat4(k), flat4(v), flat4(do)
+    lsef, ddf = flat3(lse), flat3(dd)
+
+    q_spec = pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0))
+    r_spec = pl.BlockSpec((1, bq, 1), lambda b, i, j: (b, i, 0))
+    dq = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dq_kernel, scale=scale, kv_steps=kv_steps, bkv=bkv, kv_len=N
+        ),
+        grid=(B * H, Np // bq, kv_steps),
+        in_specs=[
+            q_spec,
+            pl.BlockSpec((1, bkv, D), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bkv, D), lambda b, i, j: (b, j, 0)),
+            q_spec, r_spec, r_spec,
+        ],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((B * H, Np, D), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, dof, lsef, ddf)
+
+    kv_spec = pl.BlockSpec((1, bkv, D), lambda b, j, i: (b, j, 0))
+    qw_spec = pl.BlockSpec((1, bq, D), lambda b, j, i: (b, i, 0))
+    rw_spec = pl.BlockSpec((1, bq, 1), lambda b, j, i: (b, i, 0))
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dkv_kernel, scale=scale, q_steps=q_steps, bkv=bkv, kv_len=N
+        ),
+        grid=(B * H, kv_steps, q_steps),
+        in_specs=[qw_spec, kv_spec, kv_spec, qw_spec, rw_spec, rw_spec],
+        out_specs=[kv_spec, kv_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, Np, D), k.dtype),
+            jax.ShapeDtypeStruct((B * H, Np, D), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bkv, D), jnp.float32),
+            pltpu.VMEM((bkv, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, dof, lsef, ddf)
+
+    unflat = lambda t: t.reshape(B, H, Np, D)[:, :, :N]
+    return unflat(dq), unflat(dk), unflat(dv)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_attention_trainable(q, k, v, scale=None, interpret=False):
+    """Differentiable flash attention: Pallas kernels in BOTH directions.
+
+    ``pallas_call`` has no automatic VJP; the forward saves (q, k, v, o,
+    lse) and the backward reconstructs probabilities blockwise from the
+    log-sum-exp — O(N·block) memory instead of the O(N²) matrix, which is
+    what makes 1288² (8,704-token) training fit on one chip.
+    """
+    return flash_attention(q, k, v, scale=scale, interpret=interpret)
+
+
+def _fa_fwd(q, k, v, scale, interpret):
+    out, lse = _flash_fwd_impl(q, k, v, scale=scale, interpret=interpret)
+    return out, (q, k, v, out, lse)
+
+
+def _fa_bwd(scale, interpret, res, g):
+    q, k, v, o, lse = res
+    return _flash_bwd_impl(q, k, v, o, lse, g, scale=scale, interpret=interpret)
 
 
 flash_attention_trainable.defvjp(_fa_fwd, _fa_bwd)

@@ -259,41 +259,175 @@ def create_glb_scene(
     l_mesh: Sequence[np.ndarray],
     l_face: Sequence[np.ndarray],
     path: Optional[str] = None,
+    img=None,
+    focal: float = 600.0,
+    colors: Optional[Sequence] = None,
+    camera_marker: bool = True,
 ) -> bytes:
     """Minimal binary glTF 2.0 (.glb) scene export of the predicted meshes
     (reference utils/render.py:62-173 exports via trimesh; this writes the
-    container directly — loadable by any glTF viewer)."""
+    container directly — loadable by any glTF viewer).
+
+    Parity with the reference scene: optional per-mesh colors, the input
+    ``img`` as a textured plane placed at the camera's focal geometry
+    (screen_width 0.3, distance focal·0.3/img_width — utils/render.py:94-97),
+    and a red camera-frustum wireframe at the optical center (:136-165;
+    rendered as glTF LINES instead of the reference's pseudo-edge triangle
+    trick — same marker, native primitive).
+    """
     bufs, buffer_views, accessors, meshes, nodes = bytearray(), [], [], [], []
-    for i, (verts, faces) in enumerate(zip(l_mesh, l_face)):
-        v = np.asarray(verts, np.float32)
-        # glTF convention: +Y up; camera space is +Y down → flip Y/Z
-        v = v * np.array([1, -1, -1], np.float32)
-        f = np.asarray(faces, np.uint32)
-        voff = len(bufs)
-        bufs.extend(v.tobytes())
-        foff = len(bufs)
-        bufs.extend(f.tobytes())
+    materials, textures, images_json, samplers = [], [], [], []
+    FLIP = np.array([1, -1, -1], np.float32)  # camera (+Y down) → glTF (+Y up)
+
+    def add_view(data: bytes, target=None):
+        off = len(bufs)
+        bufs.extend(data)
         while len(bufs) % 4:
             bufs.append(0)
-        buffer_views += [
-            {"buffer": 0, "byteOffset": voff, "byteLength": v.nbytes, "target": 34962},
-            {"buffer": 0, "byteOffset": foff, "byteLength": f.nbytes, "target": 34963},
-        ]
-        accessors += [
-            {
-                "bufferView": 2 * i, "componentType": 5126, "count": len(v),
-                "type": "VEC3",
-                "min": v.min(0).tolist(), "max": v.max(0).tolist(),
-            },
-            {
-                "bufferView": 2 * i + 1, "componentType": 5125,
-                "count": f.size, "type": "SCALAR",
-            },
-        ]
-        meshes.append(
-            {"primitives": [{"attributes": {"POSITION": 2 * i}, "indices": 2 * i + 1}]}
+        view = {"buffer": 0, "byteOffset": off, "byteLength": len(data)}
+        if target:
+            view["target"] = target
+        buffer_views.append(view)
+        return len(buffer_views) - 1
+
+    def add_accessor(view, ctype, count, atype, vmin=None, vmax=None):
+        acc = {"bufferView": view, "componentType": ctype, "count": count,
+               "type": atype}
+        if vmin is not None:
+            acc["min"], acc["max"] = vmin, vmax
+        accessors.append(acc)
+        return len(accessors) - 1
+
+    def add_positions(v: np.ndarray):
+        view = add_view(v.tobytes(), 34962)
+        return add_accessor(
+            view, 5126, len(v), "VEC3", v.min(0).tolist(), v.max(0).tolist()
         )
-        nodes.append({"mesh": i})
+
+    for i, (verts, faces) in enumerate(zip(l_mesh, l_face)):
+        v = np.asarray(verts, np.float32) * FLIP
+        f = np.asarray(faces, np.uint32)
+        pos = add_positions(v)
+        idx = add_accessor(add_view(f.tobytes(), 34963), 5125, f.size, "SCALAR")
+        prim = {"attributes": {"POSITION": pos}, "indices": idx}
+        if colors is not None:
+            c = colors[i] if isinstance(colors, (list, tuple)) and not np.isscalar(
+                colors[0]
+            ) else colors
+            materials.append(
+                {
+                    "pbrMetallicRoughness": {
+                        "baseColorFactor": [float(c[0]), float(c[1]), float(c[2]), 1.0],
+                        "metallicFactor": 0.0,
+                        "roughnessFactor": 0.5,
+                    }
+                }
+            )
+            prim["material"] = len(materials) - 1
+        meshes.append({"primitives": [prim]})
+        nodes.append({"mesh": len(meshes) - 1})
+
+    # ---- textured image plane (reference utils/render.py:93-134) ----
+    plane_hx = plane_hy = dist = None
+    if img is not None:
+        arr = np.asarray(img)
+        ih, iw = arr.shape[:2]
+        # reference scale: screen_width 0.3, distance focal*0.3/width
+        # (utils/render.py:94-96); aspect kept upright (width:height = iw:ih)
+        screen_width = 0.3
+        dist = focal * screen_width / iw  # plane distance from optical center
+        plane_hx = screen_width / 2.0
+        plane_hy = plane_hx * (ih / iw)
+        # corners in OpenCV camera space (x right, y down, z forward)
+        corners = np.array(
+            [
+                [-plane_hx, -plane_hy, dist],
+                [plane_hx, -plane_hy, dist],
+                [plane_hx, plane_hy, dist],
+                [-plane_hx, plane_hy, dist],
+            ],
+            np.float32,
+        ) * FLIP
+        uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+        tris = np.array([[0, 1, 2], [0, 2, 3], [2, 1, 0], [3, 2, 0]], np.uint32)
+
+        import io as _io
+
+        from PIL import Image as _Image
+
+        pil = img if hasattr(img, "save") else _Image.fromarray(arr.astype(np.uint8))
+        png = _io.BytesIO()
+        pil.save(png, format="PNG")
+        img_view = add_view(png.getvalue())
+        images_json.append({"bufferView": img_view, "mimeType": "image/png"})
+        samplers.append({"magFilter": 9729, "minFilter": 9729})
+        textures.append({"source": len(images_json) - 1, "sampler": 0})
+        materials.append(
+            {
+                "pbrMetallicRoughness": {
+                    "baseColorTexture": {"index": len(textures) - 1},
+                    "metallicFactor": 0.0,
+                    "roughnessFactor": 1.0,
+                },
+                "doubleSided": True,
+            }
+        )
+        pos = add_positions(corners)
+        uv_acc = add_accessor(add_view(uv.tobytes(), 34962), 5126, 4, "VEC2")
+        idx = add_accessor(add_view(tris.tobytes(), 34963), 5125, tris.size, "SCALAR")
+        meshes.append(
+            {
+                "primitives": [
+                    {
+                        "attributes": {"POSITION": pos, "TEXCOORD_0": uv_acc},
+                        "indices": idx,
+                        "material": len(materials) - 1,
+                    }
+                ]
+            }
+        )
+        nodes.append({"mesh": len(meshes) - 1})
+
+    # ---- camera-frustum wireframe (reference utils/render.py:136-165) ----
+    if camera_marker:
+        hx = plane_hx if plane_hx is not None else 0.15
+        hy = plane_hy if plane_hy is not None else 0.15
+        d = dist if dist is not None else 0.2
+        corners = np.array(
+            [
+                [-hx, -hy, d], [hx, -hy, d], [hx, hy, d], [-hx, hy, d],
+            ],
+            np.float32,
+        ) * FLIP
+        apex = np.zeros((1, 3), np.float32)
+        v = np.concatenate([apex, corners])
+        # 4 apex→corner edges + base loop, as glTF LINES (mode 1)
+        lines = np.array(
+            [0, 1, 0, 2, 0, 3, 0, 4, 1, 2, 2, 3, 3, 4, 4, 1], np.uint32
+        )
+        materials.append(
+            {
+                "pbrMetallicRoughness": {
+                    "baseColorFactor": [1.0, 0.0, 0.0, 1.0],
+                    "metallicFactor": 0.0,
+                },
+            }
+        )
+        pos = add_positions(v)
+        idx = add_accessor(add_view(lines.tobytes(), 34963), 5125, lines.size, "SCALAR")
+        meshes.append(
+            {
+                "primitives": [
+                    {
+                        "attributes": {"POSITION": pos},
+                        "indices": idx,
+                        "mode": 1,
+                        "material": len(materials) - 1,
+                    }
+                ]
+            }
+        )
+        nodes.append({"mesh": len(meshes) - 1})
 
     gltf = {
         "asset": {"version": "2.0", "generator": "multihmr_tpu"},
@@ -305,6 +439,12 @@ def create_glb_scene(
         "bufferViews": buffer_views,
         "buffers": [{"byteLength": len(bufs)}],
     }
+    if materials:
+        gltf["materials"] = materials
+    if textures:
+        gltf["textures"] = textures
+        gltf["images"] = images_json
+        gltf["samplers"] = samplers
     js = json.dumps(gltf).encode()
     while len(js) % 4:
         js += b" "

@@ -182,6 +182,7 @@ class Trainer:
     checkpoint_dir: Optional[str] = None
     nb_max_ckpt: int = 3
     log_fn: Callable[[str], None] = print
+    metrics_logger: Optional[Any] = None  # utils.logging.MetricsLogger
 
     def __post_init__(self):
         self.train_step = make_train_step(self.model, self.optimizer, self.weights)
@@ -194,16 +195,40 @@ class Trainer:
         eval_fn: Optional[Callable] = None,
         start_epoch: int = 0,
     ):
+        import time
+
+        from multihmr_tpu.train.metrics import AverageMeter
+
         opt_state = self.optimizer.init(params)
         for epoch in range(start_epoch, epochs):
             n, running = 0, 0.0
+            # workload meters (reference train.py:232-234, 310-328): time in
+            # the data iterator vs whole-step time, and their ratio
+            meters = {k: AverageMeter(k) for k in ("data", "batch", "ratio_data")}
+            t_end = time.perf_counter()
             for batch in data_iter_fn():
+                t_data = time.perf_counter() - t_end
                 params, opt_state, terms = self.train_step(
                     params, opt_state, batch, epoch
                 )
-                running += float(terms["total"])
+                running += float(terms["total"])  # blocks on the step
+                t_batch = time.perf_counter() - t_end
+                meters["data"].update(t_data)
+                meters["batch"].update(t_batch)
+                meters["ratio_data"].update(t_data / max(t_batch, 1e-9))
                 n += 1
-            self.log_fn(f"epoch {epoch}: mean loss {running / max(n,1):.4f} over {n} steps")
+                t_end = time.perf_counter()
+            self.log_fn(
+                f"epoch {epoch}: mean loss {running / max(n,1):.4f} over {n} steps "
+                f"(data {meters['data'].avg*1e3:.1f} ms, "
+                f"batch {meters['batch'].avg*1e3:.1f} ms, "
+                f"ratio_data {meters['ratio_data'].avg:.3f})"
+            )
+            if self.metrics_logger is not None:
+                self.metrics_logger.scalars(
+                    {k: m.avg for k, m in meters.items()}, epoch, prefix="workload/"
+                )
+                self.metrics_logger.scalar("loss/total", running / max(n, 1), epoch)
             if self.checkpoint_dir is not None:
                 from multihmr_tpu.io.checkpoint import save_checkpoint, prune_checkpoints
 

@@ -98,3 +98,42 @@ def test_stdlib_server_roundtrip():
         out = np.asarray(Image.open(io.BytesIO(png)))
         assert out.ndim == 3
     server_holder["srv"].shutdown()
+
+
+def test_result_cache_roundtrip(tmp_path):
+    """Per-example result caching (reference app.py:97-103): a repeated call
+    with identical inputs is served from the on-disk cache."""
+    from PIL import Image
+
+    from multihmr_tpu.cli.app import build_infer
+
+    cfg = TinyConfig(img_size=56, max_people=4, person_center="j5",
+                     compute_dtype="float32")
+    bm = synthetic_body_model()
+    names = [f"j{i}" for i in range(bm.num_output_joints)]
+    model = MultiHMR(cfg, bm, person_center_joint_names=names)
+    params = model.init_params(jax.random.PRNGKey(0))
+    cache = tmp_path / "cache"
+    infer, _ = build_infer("tiny", None, model=model, params=params,
+                           cache_dir=str(cache))
+
+    img = np.random.default_rng(1).integers(0, 255, size=(64, 64, 3), dtype=np.uint8)
+    overlay1, glb1, count1 = infer(img, det_thresh=0.3)
+    import os
+
+    files = sorted(os.listdir(cache))
+    assert any(f.endswith(".png") for f in files)
+    assert any(f.endswith(".glb") for f in files)
+
+    # prove the second call reads the cache: poison the cached glb
+    glb_fn = next(f for f in files if f.endswith(".glb"))
+    with open(cache / glb_fn, "wb") as f:
+        f.write(b"POISONED")
+    overlay2, glb2, count2 = infer(img, det_thresh=0.3)
+    assert glb2 == b"POISONED"
+    assert count2 == count1
+    np.testing.assert_array_equal(overlay2, overlay1)
+
+    # different params -> different cache entry -> fresh compute
+    _, glb3, _ = infer(img, det_thresh=0.5)
+    assert glb3 != b"POISONED"

@@ -1,29 +1,24 @@
-"""Custom-VJP correctness: gradients of the flash wrapper must match
-jax.grad through plain attention."""
+"""Custom-VJP correctness: gradients of the flash wrapper (Pallas forward
+AND Pallas blockwise backward, run in interpret mode on CPU) must match
+jax.grad through plain attention — including padded-tail masking."""
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from multihmr_tpu.ops import attention as A
 
 
-def test_flash_vjp_matches_reference_grad(rng, monkeypatch):
-    # route the wrapper's forward through the interpretable kernel on CPU
-    orig = A.flash_attention
-    monkeypatch.setattr(
-        A, "flash_attention",
-        lambda q, k, v, scale=None, **kw: orig(
-            q, k, v, scale=scale, block_q=128, block_kv=128, interpret=True
-        ),
-    )
-    B, H, N, D = 1, 2, 160, 32
+@pytest.mark.parametrize("N", [160, 256])  # 160 pads to 256 → masked tail
+def test_flash_vjp_matches_reference_grad(rng, N):
+    B, H, D = 1, 2, 32
     q, k, v = [
         jnp.asarray(rng.normal(size=(B, H, N, D)).astype(np.float32)) for _ in range(3)
     ]
 
     def loss_flash(q, k, v):
-        return jnp.sum(jnp.tanh(A.flash_attention_trainable(q, k, v, None)))
+        return jnp.sum(jnp.tanh(A.flash_attention_trainable(q, k, v, None, True)))
 
     def loss_ref(q, k, v):
         return jnp.sum(jnp.tanh(A.mha_reference(q, k, v)))
@@ -32,3 +27,39 @@ def test_flash_vjp_matches_reference_grad(rng, monkeypatch):
     g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g_f, g_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_flash_vjp_explicit_scale_and_value(rng):
+    """Forward value AND grads with a non-default scale."""
+    B, H, N, D = 1, 1, 192, 16
+    q, k, v = [
+        jnp.asarray(rng.normal(size=(B, H, N, D)).astype(np.float32)) for _ in range(3)
+    ]
+    scale = 0.17
+    out = A.flash_attention_trainable(q, k, v, scale, True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(A.mha_reference(q, k, v, scale=scale)), atol=2e-5
+    )
+
+    def loss_flash(q, k, v):
+        return jnp.sum(A.flash_attention_trainable(q, k, v, scale, True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(A.mha_reference(q, k, v, scale=scale) ** 2)
+
+    g_f = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_f, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_flash_fwd_lse(rng):
+    """The saved log-sum-exp must equal the reference logsumexp rows."""
+    B, H, N, D = 2, 2, 128, 16
+    q, k, v = [
+        jnp.asarray(rng.normal(size=(B, H, N, D)).astype(np.float32)) for _ in range(3)
+    ]
+    out, lse = A._flash_fwd_impl(q, k, v, interpret=True)
+    s = np.einsum("bhnd,bhmd->bhnm", np.asarray(q), np.asarray(k)) * D ** -0.5
+    want = np.log(np.exp(s - s.max(-1, keepdims=True)).sum(-1)) + s.max(-1)
+    np.testing.assert_allclose(np.asarray(lse), want, atol=2e-5)

@@ -63,7 +63,9 @@ def test_glb_export_valid_container(tmp_path):
 
     gltf = json.loads(data[20 : 20 + jlen])
     assert gltf["asset"]["version"] == "2.0"
-    assert len(gltf["meshes"]) == 1
+    # human mesh + the always-on camera-frustum marker (reference
+    # utils/render.py:136-165 adds its camera mesh unconditionally too)
+    assert len(gltf["meshes"]) == 2
 
 
 def test_obj_export(tmp_path):
@@ -89,3 +91,46 @@ def test_get_bbox():
     pts = np.array([[10.0, 20], [30, 60]])
     box = get_bbox(pts, factor=1.0)
     np.testing.assert_allclose(box, [10, 20, 30, 60])
+
+
+def test_glb_scene_image_plane_and_frustum(tmp_path):
+    """Scene parity with reference utils/render.py:62-173: textured image
+    plane + red camera-frustum wireframe + per-mesh colors."""
+    import json
+
+    verts, faces, _ = make_triangle_scene()
+    img = np.zeros((60, 80, 3), np.uint8)
+    img[:, :, 0] = 200
+    data = create_glb_scene(
+        [verts], [faces], str(tmp_path / "s.glb"),
+        img=img, focal=600.0, colors=[(0.2, 0.4, 0.6)],
+    )
+    jlen, jtype = struct.unpack("<II", data[12:20])
+    gltf = json.loads(data[20 : 20 + jlen])
+    # 1 human mesh + image plane + frustum
+    assert len(gltf["meshes"]) == 3
+    assert len(gltf["nodes"]) == 3
+    # textured plane: texture/image/sampler + TEXCOORD_0
+    assert len(gltf["textures"]) == 1 and len(gltf["images"]) == 1
+    plane = gltf["meshes"][1]["primitives"][0]
+    assert "TEXCOORD_0" in plane["attributes"]
+    tex_mat = gltf["materials"][plane["material"]]
+    assert "baseColorTexture" in tex_mat["pbrMetallicRoughness"]
+    # frustum: LINES primitive with a red material
+    frustum = gltf["meshes"][2]["primitives"][0]
+    assert frustum["mode"] == 1
+    red = gltf["materials"][frustum["material"]]
+    assert red["pbrMetallicRoughness"]["baseColorFactor"][:3] == [1.0, 0.0, 0.0]
+    # human mesh color carried
+    body_mat = gltf["materials"][gltf["meshes"][0]["primitives"][0]["material"]]
+    assert body_mat["pbrMetallicRoughness"]["baseColorFactor"][:3] == [0.2, 0.4, 0.6]
+    # embedded PNG chunk decodes back to the image
+    img_view = gltf["bufferViews"][gltf["images"][0]["bufferView"]]
+    bin_off = 20 + jlen + 8
+    png = data[bin_off + img_view["byteOffset"] :][: img_view["byteLength"]]
+    import io as _io
+
+    from PIL import Image
+
+    back = np.asarray(Image.open(_io.BytesIO(png)))
+    np.testing.assert_array_equal(back, img)

@@ -170,17 +170,29 @@ def test_trainer_fit_with_checkpointing(tmp_path, rng):
                 "gt_valid": jnp.asarray([[1, 1, 0, 0]], jnp.float32),
             }
 
-    evals = []
+    evals, lines = [], []
+    from multihmr_tpu.utils.logging import MetricsLogger
+
+    logger = MetricsLogger(str(tmp_path / "logs"), name="t")
     trainer = Trainer(
         model, optax.adam(1e-4), checkpoint_dir=str(tmp_path / "ck"), nb_max_ckpt=2,
-        log_fn=lambda s: None,
+        log_fn=lines.append, metrics_logger=logger,
     )
     trainer.fit(
         params, data_iter, epochs=3,
         eval_fn=lambda p, e: evals.append(e),
     )
+    logger.close()
     import os
 
     ckpts = sorted(f for f in os.listdir(tmp_path / "ck") if f.endswith(".msgpack"))
     assert ckpts == ["ckpt_000001.msgpack", "ckpt_000002.msgpack"]  # pruned to 2
     assert evals == [0, 1, 2]
+    # workload meters (reference train.py:232-234) flushed per epoch
+    assert all("ratio_data" in ln for ln in lines)
+    import json as _json
+
+    with open(tmp_path / "logs" / "t" / "metrics.jsonl") as f:
+        tags = {_json.loads(ln)["tag"] for ln in f}
+    assert {"workload/data", "workload/batch", "workload/ratio_data",
+            "loss/total"} <= tags

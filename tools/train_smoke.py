@@ -1,0 +1,88 @@
+"""On-chip training smoke test at a chosen resolution.
+
+Validates that a full train step (forward + loss + flash-attention Pallas
+backward + optax update) compiles and executes on one TPU chip — the
+acceptance check for large-resolution training memory (1288² = 8,465 ViT
+tokens; the round-1 XLA attention backward materialized [N, N] fp32 and
+could not fit this).
+
+Usage:  python tools/train_smoke.py [--model multiHMR_1288_L_bedlam]
+        [--batch 1] [--steps 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="multiHMR_1288_L_bedlam")
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--steps", type=int, default=2)
+    args = ap.parse_args()
+
+    import jax
+
+    from multihmr_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+    )
+
+    import dataclasses
+    import numpy as np
+    import jax.numpy as jnp
+    import optax
+
+    from multihmr_tpu.config import named_config
+    from multihmr_tpu.factory import smplx_like_synthetic
+    from multihmr_tpu.models.multihmr import MultiHMR
+    from multihmr_tpu.train.trainer import make_train_step
+
+    cfg = dataclasses.replace(named_config(args.model), remat=True, max_people=8)
+    bm = smplx_like_synthetic(cfg.num_betas)
+    model = MultiHMR(cfg, bm)
+    print(f"{args.model}: img={cfg.img_size} grid={cfg.grid_size} "
+          f"tokens={cfg.num_patches + 1} remat={cfg.remat}")
+
+    params = model.init_params(jax.random.PRNGKey(0), batch_size=1)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    print(f"params: {n_params/1e6:.1f}M")
+
+    optimizer = optax.adam(5e-6)
+    opt_state = jax.jit(optimizer.init)(params)
+    step = make_train_step(model, optimizer, donate=True)
+
+    B, Kh, S = args.batch, cfg.max_people, cfg.img_size
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(rng.normal(size=(B, S, S, 3)), jnp.float32),
+        "K": jnp.broadcast_to(
+            jnp.asarray([[900.0, 0, S / 2], [0, 900.0, S / 2], [0, 0, 1]], jnp.float32),
+            (B, 3, 3),
+        ),
+        "gt_pose": jnp.asarray(rng.normal(scale=0.2, size=(B, Kh, 53, 3)), jnp.float32),
+        "gt_shape": jnp.asarray(rng.normal(size=(B, Kh, 10)), jnp.float32),
+        "gt_transl": jnp.asarray(
+            rng.normal(scale=0.3, size=(B, Kh, 3)) + np.array([0, 0, 4.0]), jnp.float32
+        ),
+        "gt_valid": jnp.asarray((rng.uniform(size=(B, Kh)) > 0.4), jnp.float32),
+    }
+
+    t0 = time.time()
+    for i in range(args.steps):
+        params, opt_state, terms = step(params, opt_state, batch, 0)
+        total = float(terms["total"])
+        print(f"step {i}: loss={total:.4f}  (+{time.time()-t0:.1f}s)")
+        assert np.isfinite(total), "non-finite loss"
+    print("train smoke OK")
+
+
+if __name__ == "__main__":
+    main()
