@@ -30,7 +30,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from multihmr_tpu.config import ViTConfig
-from multihmr_tpu.parallel.ring_attention import mesh_attention
+from multihmr_tpu.parallel.ring_attention import mesh_attention_merged
 
 
 class Mlp(nn.Module):
@@ -70,8 +70,9 @@ class Attention(nn.Module):
         qkv = nn.Dense(3 * D, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(B, N, 3, h, dh).transpose(2, 0, 3, 1, 4)  # [3,B,h,N,dh]
         q, k, v = qkv[0], qkv[1], qkv[2]
-        out = mesh_attention(q, k, v, self.mesh, mode=self.tp_mode)  # [B,h,N,dh]
-        out = out.transpose(0, 2, 1, 3).reshape(B, N, D)
+        # merged [B, N, D]: the flash kernel's native transposed output folds
+        # the heads-merge into the one transpose this reshape always cost
+        out = mesh_attention_merged(q, k, v, self.mesh, mode=self.tp_mode)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
 

@@ -36,60 +36,108 @@ def mha_reference(
 
 
 _NEG = -1e30  # finite "masked" logit: exp(_NEG - m) underflows to 0
+_LOG2E = 1.4426950408889634
+_LN2 = 0.6931471805599453
 
 
-def _flash_kernel(
-    q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
-    *, scale, kv_steps, bkv, kv_len,
+def _fwd_kernel(
+    q_ref, k_ref, v_ref, o_ref, lse_ref, *scratch,
+    kv_steps, bkv, nsub, kv_len, padded,
 ):
-    """One (batch*head, q-block) program; grid dim 2 walks the kv blocks.
+    """One (batch*head, q-block) program; grid dim 2 walks the kv steps.
 
-    Online-softmax accumulation in fp32 scratch; the final kv step writes the
-    normalized output. Shapes per block: q [1, Bq, D], k/v [1, Bk, D].
-    ``kv_len`` masks padded trailing keys (sequence padded up to a
-    lane-aligned length).
+    TRANSPOSED-score formulation, tuned on v5e (≈1.0 ms vs 1.47 ms for the
+    naive-layout online-softmax kernel at the 896_L shape [16,4224,64]):
+
+      * scores are computed as ``s_t = k·qᵀ [bkv, bq]`` and the PV matmul as
+        ``vᵀ·pᵀ`` via ``dot_general(v, p_t)`` → ``[D, bq]``. With head dim 64
+        the naive PV ``[bq,bkv]×[bkv,64]`` leaves half the MXU output lanes
+        idle (measured 64 TFLOP/s); transposed, the output lane dim is bq
+        (128-aligned) and the contraction is bkv — full rate (measured 86).
+        The output leaves the kernel as ``[BH, D, Np]``; the model needs
+        ``[B, N, H·D]`` and pays one XLA transpose either way, so the layout
+        is free downstream.
+      * softmax runs in exp2 space with ``scale·log2(e)`` pre-folded into q
+        by the caller — exp2 is the VPU-native transcendental and the
+        per-tile ``s*scale`` multiply disappears.
+      * each kv step is split into ``nsub`` sub-blocks (~544 rows): the max
+        is reduced per-sub then combined, giving the VLIW scheduler
+        independent MXU(QK)/VPU(softmax)/MXU(PV) chains to overlap (swept:
+        nsub≈bkv/544 is ~15% faster than monolithic).
+      * when ``kv_steps == 1`` (whole kv fits one step, the common ViT case)
+        the online-correction state and its scratch RMW vanish entirely —
+        the step max is already global.
+
+    lse (natural log, for the backward kernels) = (m + log2 l)·ln2.
     """
     kv_i = pl.program_id(2)
+    q = q_ref[0]  # [bq, D], pre-scaled by scale·log2(e)
+    bsub = bkv // nsub
+    # Only sub-blocks overlapping [kv_len, Np) can contain padded keys, and
+    # only in the LAST kv step; the mask pass is skipped everywhere else.
+    # (For earlier kv steps the predicate is all-true — padding < bq ≤ bkv.)
+    tail_local = kv_len - (kv_steps - 1) * bkv
 
-    @pl.when(kv_i == 0)
-    def _init():
-        m_ref[:] = jnp.full_like(m_ref, _NEG)
-        l_ref[:] = jnp.zeros_like(l_ref)
-        acc_ref[:] = jnp.zeros_like(acc_ref)
+    sts = []
+    for t in range(nsub):
+        k = k_ref[0, t * bsub:(t + 1) * bsub]  # [bsub, D]
+        st = jax.lax.dot_general(
+            k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bsub, bq]
+        if padded and (t + 1) * bsub > tail_local:
+            row = (jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)
+                   + kv_i * bkv + t * bsub)
+            st = jnp.where(row < kv_len, st, _NEG)
+        sts.append(st)
 
-    q = q_ref[0]  # [Bq, D]
-    k = k_ref[0]  # [Bk, D]
-    v = v_ref[0]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [Bq, Bk] fp32
-    s = s * scale
-    if kv_len % bkv != 0:  # only the tail block can contain padding
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_i * bkv
-        s = jnp.where(col < kv_len, s, _NEG)
+    m_step = jnp.max(sts[0], axis=0)  # [bq]
+    for st in sts[1:]:
+        m_step = jnp.maximum(m_step, jnp.max(st, axis=0))
 
-    m_prev = m_ref[:, 0]  # [Bq]
-    m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1))
-    correction = jnp.exp(m_prev - m_cur)  # [Bq]
-    p = jnp.exp(s - m_cur[:, None])  # [Bq, Bk] fp32
-    l_ref[:, 0] = l_ref[:, 0] * correction + jnp.sum(p, axis=-1)
-    m_ref[:, 0] = m_cur
-    pv = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [Bq, D]
-    acc_ref[:] = acc_ref[:] * correction[:, None] + pv
+    def _accumulate(m_cur):
+        acc = None
+        l = None
+        for t, st in enumerate(sts):
+            p = jnp.exp2(st - m_cur[None, :]).astype(v_ref.dtype)
+            v = v_ref[0, t * bsub:(t + 1) * bsub]
+            pv = jax.lax.dot_general(
+                v, p, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [D, bq]
+            ls = jnp.sum(p.astype(jnp.float32), axis=0)  # [bq]
+            acc = pv if acc is None else acc + pv
+            l = ls if l is None else l + ls
+        return acc, l
 
-    @pl.when(kv_i == kv_steps - 1)
-    def _finalize():
-        o_ref[0] = (acc_ref[:] / l_ref[:, 0][:, None]).astype(o_ref.dtype)
-        # log-sum-exp per query row — the backward kernels reconstruct the
-        # probabilities from it without re-running the online softmax
-        lse_ref[0, :, 0] = m_ref[:, 0] + jnp.log(l_ref[:, 0])
+    if kv_steps == 1:
+        acc, l = _accumulate(m_step)
+        o_ref[0] = (acc / l[None, :]).astype(o_ref.dtype)
+        lse_ref[0, 0] = (m_step + jnp.log2(l)) * _LN2
+    else:
+        acc_ref, m_ref, l_ref = scratch
+
+        @pl.when(kv_i == 0)
+        def _init():
+            m_ref[:] = jnp.full_like(m_ref, _NEG)
+            l_ref[:] = jnp.zeros_like(l_ref)
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        m_prev = m_ref[0]
+        m_cur = jnp.maximum(m_prev, m_step)
+        corr = jnp.exp2(m_prev - m_cur)
+        acc, l = _accumulate(m_cur)
+        m_ref[0] = m_cur
+        l_ref[0] = l_ref[0] * corr + l
+        acc_ref[:] = acc_ref[:] * corr[None, :] + acc
+
+        @pl.when(kv_i == kv_steps - 1)
+        def _finalize():
+            o_ref[0] = (acc_ref[:] / l_ref[0][None, :]).astype(o_ref.dtype)
+            lse_ref[0, 0] = (m_ref[0] + jnp.log2(l_ref[0])) * _LN2
 
 
 def _choose_blocks(N, block_q, block_kv, pad_to):
-    """(Np, bq, bkv) block/padding choice shared by forward and backward."""
+    """(Np, bq, bkv) block/padding choice for the BACKWARD kernels."""
     if pad_to is not None:  # explicit tuning override
         assert pad_to >= N and pad_to % block_q == 0 and pad_to % block_kv == 0
         return pad_to, block_q, block_kv
@@ -102,6 +150,44 @@ def _choose_blocks(N, block_q, block_kv, pad_to):
     return Np, bq, bkv
 
 
+# fp32 VMEM budget for one kv step's score tiles: bq·bkv·4 bytes. 6.5 MB
+# keeps the whole working set (scores + k/v blocks + double-buffered DMA)
+# inside the 16 MB scoped-vmem limit with headroom. (Raising the scoped
+# limit via LIBTPU_INIT_ARGS measurably SLOWS the kernel — don't.)
+_STEP_BYTES = 6_500_000
+_BSUB_TARGET = 544  # swept on v5e: ~544-row sub-blocks overlap MXU/VPU best
+
+
+def _choose_fwd_blocks(N, block_q=None, block_kv=None, pad_to=None):
+    """(Np, bq, bkv, nsub) for the forward kernel.
+
+    Np: smallest lane-aligned padded length with a ≥256 q-block (attention
+    FLOPs scale with Np², so 4097→4224/384 beats 4097→4608/512); bkv: the
+    largest divisor of Np whose score tile fits _STEP_BYTES — ViT shapes
+    (Np ≤ 4224) run in ONE kv step, 8465→8704 runs in four; nsub splits the
+    step into ~544-row sub-blocks for MXU/VPU overlap.
+    """
+    if pad_to is not None:
+        assert block_q and block_kv, "pad_to requires explicit blocks"
+        assert pad_to >= N and pad_to % block_q == 0 and pad_to % block_kv == 0
+        Np, bq = pad_to, block_q
+    else:
+        Np, bq = _pad_and_block(N, block_q or 512)
+    cap = max(_STEP_BYTES // (4 * bq), 8)
+    if block_kv:
+        cap = min(cap, block_kv)
+    bkv = bq if Np % bq == 0 else Np
+    for b in range(8, min(Np, cap) + 1, 8):
+        if Np % b == 0:
+            bkv = b
+    nsub = 1
+    best = abs(bkv - _BSUB_TARGET)
+    for n in range(2, 17):
+        if bkv % (8 * n) == 0 and abs(bkv // n - _BSUB_TARGET) < best:
+            nsub, best = n, abs(bkv // n - _BSUB_TARGET)
+    return Np, bq, bkv, nsub
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("block_q", "block_kv", "scale", "interpret", "pad_to"),
@@ -111,32 +197,25 @@ def _flash_fwd_impl(
     k: jax.Array,
     v: jax.Array,
     scale: float | None = None,
-    block_q: int = 512,
-    block_kv: int = 512,
+    block_q: int | None = None,
+    block_kv: int | None = None,
     interpret: bool = False,
     pad_to: int | None = None,
 ):
-    """Pallas TPU flash attention, ``[B, H, N, Dh]`` → (out, lse ``[B,H,N]``).
+    """Pallas TPU flash attention.
 
-    N must be divisible by the block sizes (callers pad; ViT grids 2304/4096/
-    8464 divide 256/512 after padding 8464→8704 if needed). Head dim should
-    be 64 (DINOv2 S/B/L) — any multiple of 128 lane packing works.
+    ``[B, H, N, Dh]`` → (out_t ``[B, H, Dh, N]`` TRANSPOSED, lse ``[B,H,N]``).
+    See :func:`_fwd_kernel` for why the output layout is transposed. Callers
+    wanting ``[B, H, N, Dh]`` transpose once (:func:`flash_attention`); the
+    model consumes the transposed layout directly and pays nothing.
     """
     B, H, N, D = q.shape
     if scale is None:
         scale = D ** -0.5
-    # Pad the sequence so it divides into large MXU-friendly blocks (ViT
-    # sequences are 1+grid^2 = 577/2305/4097/8465 — never aligned, and e.g.
-    # 2305→2432=2^7·19 would force degenerate 128-blocks). Choose the
-    # SMALLEST lane-aligned padded length admitting a ≥256 block: attention
-    # FLOPs scale with Np², so 4097→4224 (+6%, 384-blocks) beats 4097→4608
-    # (+26%, 512-blocks). Large kv blocks amortize per-step softmax/
-    # correction overhead (swept on v5e: bq=384/bkv=2112 at Np=4224 is ~2x
-    # square blocks); cap 2560 keeps the fp32 [bq, bkv] logits tile within
-    # VMEM. kv is a SUBLANE dim (blocks are [1, bkv, D]) → multiples of 8
-    # suffice. Padded keys are masked inside the kernel, padded query rows
-    # are sliced off afterwards.
-    Np, bq, bkv = _choose_blocks(N, block_q, block_kv, pad_to)
+    Np, bq, bkv, nsub = _choose_fwd_blocks(N, block_q, block_kv, pad_to)
+    # Fold scale + the exp→exp2 base change into q: one [N, D] multiply
+    # instead of a per-score-tile [Np, Np] multiply inside the kernel.
+    q = q * jnp.asarray(scale * _LOG2E, q.dtype)
     if Np != N:
         pad = [(0, 0), (0, 0), (0, Np - N), (0, 0)]
         q = jnp.pad(q, pad)
@@ -151,7 +230,8 @@ def _flash_fwd_impl(
     grid = (B * H, Np // bq, kv_steps)
     out, lse = pl.pallas_call(
         functools.partial(
-            _flash_kernel, scale=scale, kv_steps=kv_steps, bkv=bkv, kv_len=N
+            _fwd_kernel, kv_steps=kv_steps, bkv=bkv, nsub=nsub, kv_len=N,
+            padded=Np != N,
         ),
         grid=grid,
         in_specs=[
@@ -160,29 +240,27 @@ def _flash_fwd_impl(
             pl.BlockSpec((1, bkv, D), lambda b, i, j: (b, j, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0)),
-            # [BH, Np, 1] layout: a bare (1, bq) block violates the TPU
-            # (8, 128)-alignment rule on the trailing dims
-            pl.BlockSpec((1, bq, 1), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, D, bq), lambda b, i, j: (b, 0, i)),
+            pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B * H, Np, D), q.dtype),
-            jax.ShapeDtypeStruct((B * H, Np, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B * H, D, Np), q.dtype),
+            jax.ShapeDtypeStruct((B * H, 1, Np), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((bq, D), jnp.float32),
-            pltpu.VMEM((bq, 1), jnp.float32),
-            pltpu.VMEM((bq, 1), jnp.float32),
+        scratch_shapes=[] if kv_steps == 1 else [
+            pltpu.VMEM((D, bq), jnp.float32),
+            pltpu.VMEM((1, bq), jnp.float32),
+            pltpu.VMEM((1, bq), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(qf, kf, vf)
-    out = out.reshape(B, H, Np, D)
+    out = out.reshape(B, H, D, Np)
     lse = lse.reshape(B, H, Np)
     if Np != N:
-        out, lse = out[:, :, :N], lse[:, :, :N]
+        out, lse = out[:, :, :, :N], lse[:, :, :N]
     return out, lse
 
 
@@ -191,16 +269,23 @@ def flash_attention(
     k: jax.Array,
     v: jax.Array,
     scale: float | None = None,
-    block_q: int = 512,
-    block_kv: int = 512,
+    block_q: int | None = None,
+    block_kv: int | None = None,
     interpret: bool = False,
     pad_to: int | None = None,
+    transposed_out: bool = False,
 ) -> jax.Array:
-    """Pallas TPU flash attention, ``[B, H, N, Dh]`` → ``[B, H, N, Dh]``."""
-    return _flash_fwd_impl(
+    """Pallas TPU flash attention, ``[B, H, N, Dh]`` in.
+
+    Returns ``[B, H, N, Dh]``, or the kernel-native ``[B, H, Dh, N]`` when
+    ``transposed_out`` (free for callers that reshape to ``[B, N, H·Dh]``
+    anyway — see :func:`attention_merged`).
+    """
+    out_t, _ = _flash_fwd_impl(
         q, k, v, scale=scale, block_q=block_q, block_kv=block_kv,
         interpret=interpret, pad_to=pad_to,
-    )[0]
+    )
+    return out_t if transposed_out else out_t.transpose(0, 1, 3, 2)
 
 
 def _pad_and_block(n: int, target: int) -> tuple[int, int]:
@@ -404,7 +489,8 @@ def flash_attention_trainable(q, k, v, scale=None, interpret=False):
 
 
 def _fa_fwd(q, k, v, scale, interpret):
-    out, lse = _flash_fwd_impl(q, k, v, scale=scale, interpret=interpret)
+    out_t, lse = _flash_fwd_impl(q, k, v, scale=scale, interpret=interpret)
+    out = out_t.transpose(0, 1, 3, 2)
     return out, (q, k, v, out, lse)
 
 
@@ -414,6 +500,39 @@ def _fa_bwd(scale, interpret, res, g):
 
 
 flash_attention_trainable.defvjp(_fa_fwd, _fa_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_attention_merged(q, k, v, scale=None, interpret=False):
+    """Differentiable flash attention returning heads-merged ``[B, N, H·Dh]``.
+
+    The kernel emits ``[B, H, Dh, N]`` natively (see :func:`_fwd_kernel`), so
+    merging heads costs the SAME single XLA transpose the standard-layout
+    path pays in the model (``[B,H,N,Dh]→[B,N,H,Dh]``) — this variant just
+    skips the intermediate round-trip. Backward = the same Pallas blockwise
+    kernels, with the cotangent transposed back once.
+    """
+    out_t, _ = _flash_fwd_impl(q, k, v, scale=scale, interpret=interpret)
+    B, H, Dh, N = out_t.shape
+    return out_t.transpose(0, 3, 1, 2).reshape(B, N, H * Dh)
+
+
+def _fam_fwd(q, k, v, scale, interpret):
+    out_t, lse = _flash_fwd_impl(q, k, v, scale=scale, interpret=interpret)
+    B, H, Dh, N = out_t.shape
+    merged = out_t.transpose(0, 3, 1, 2).reshape(B, N, H * Dh)
+    return merged, (q, k, v, out_t, lse)
+
+
+def _fam_bwd(scale, interpret, res, g):
+    q, k, v, out_t, lse = res
+    B, H, Dh, N = out_t.shape
+    o = out_t.transpose(0, 1, 3, 2)  # [B, H, N, Dh]
+    do = g.reshape(B, N, H, Dh).transpose(0, 2, 1, 3)
+    return _flash_bwd_impl(q, k, v, o, lse, do, scale=scale, interpret=interpret)
+
+
+flash_attention_merged.defvjp(_fam_fwd, _fam_bwd)
 
 
 def _on_tpu() -> bool:
@@ -435,3 +554,20 @@ def multi_head_attention(
     if use_flash:
         return flash_attention_trainable(q, k, v, scale)
     return mha_reference(q, k, v, scale=scale)
+
+
+def attention_merged(
+    q: jax.Array, k: jax.Array, v: jax.Array, scale: float | None = None,
+    use_flash: bool | None = None,
+) -> jax.Array:
+    """Like :func:`multi_head_attention` but returns heads-merged
+    ``[B, N, H·Dh]`` — the layout the output projection consumes. On the
+    flash path this rides the kernel's native transposed output, saving the
+    ``[B,H,N,Dh]`` round-trip."""
+    B, H, N, Dh = q.shape
+    if use_flash is None:
+        use_flash = _on_tpu() and N >= 1024
+    if use_flash:
+        return flash_attention_merged(q, k, v, scale)
+    out = mha_reference(q, k, v, scale=scale)
+    return out.transpose(0, 2, 1, 3).reshape(B, N, H * Dh)

@@ -8,6 +8,7 @@ from multihmr_tpu.parallel.sharding import (  # noqa: F401
 from multihmr_tpu.parallel.ring_attention import (  # noqa: F401
     head_parallel_attention,
     mesh_attention,
+    mesh_attention_merged,
     ring_attention,
     sequence_parallel_attention,
 )

@@ -23,7 +23,7 @@ try:  # jax ≥ 0.9 top-level API; fall back to the experimental path
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
-from multihmr_tpu.ops.attention import multi_head_attention
+from multihmr_tpu.ops.attention import attention_merged, multi_head_attention
 
 
 def _local_attn_stats(q, k, v, scale, col_base=None, kv_len=None):
@@ -198,3 +198,48 @@ def mesh_attention(
     return head_parallel_attention(
         q, k, v, mesh, axis=axis, scale=scale, batch_axis=batch_axis
     )
+
+
+def mesh_attention_merged(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mesh: Mesh | None,
+    mode: str = "heads",
+    axis: str = "model",
+    scale: float | None = None,
+) -> jax.Array:
+    """:func:`mesh_attention` returning heads-merged ``[B, N, H·Dh]``.
+
+    This is the model hot-path entry: the flash kernel's native transposed
+    output merges into ``[B, N, H·Dh]`` with the single transpose the model
+    pays anyway. Under Megatron TP the merged activation is head-chunked
+    along its LAST dim, so the shard_map out_spec shards that dim over
+    ``axis`` — exactly the layout the row-parallel output projection wants.
+    """
+    B, H, N, Dh = q.shape
+    if mesh is None or axis not in mesh.shape or mesh.shape[axis] <= 1:
+        return attention_merged(q, k, v, scale=scale)
+    batch_axis = None
+    if "data" in mesh.shape and mesh.shape["data"] > 1 \
+            and q.shape[0] % mesh.shape["data"] == 0:
+        batch_axis = "data"
+    if mode == "ring":
+        out = sequence_parallel_attention(
+            q, k, v, mesh, axis=axis, scale=scale, batch_axis=batch_axis
+        )
+        return out.transpose(0, 2, 1, 3).reshape(B, N, H * Dh)
+    assert mode == "heads", mode
+    n = mesh.shape[axis]
+    assert H % n == 0, (
+        f"num_heads={H} not divisible by mesh axis {axis!r}={n}"
+    )
+    spec = P(batch_axis, axis, None, None)
+
+    def local(q, k, v):
+        return attention_merged(q, k, v, scale=scale)
+
+    return shard_map(
+        local, mesh=mesh, in_specs=(spec, spec, spec),
+        out_specs=P(batch_axis, None, axis),
+    )(q, k, v)

@@ -37,3 +37,48 @@ def test_mha_reference_matches_naive(rng):
     probs /= probs.sum(-1, keepdims=True)
     ref = np.einsum("bhnm,bhmd->bhnd", probs, v)
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_choose_fwd_blocks():
+    from multihmr_tpu.ops.attention import _choose_fwd_blocks
+
+    for n in (577, 2305, 4097, 8465, 4096, 2304, 65, 129):
+        Np, bq, bkv, nsub = _choose_fwd_blocks(n)
+        assert Np >= n and Np % bq == 0 and Np % bkv == 0
+        assert bkv % nsub == 0 and (bkv // nsub) % 8 == 0
+        assert bq * bkv * 4 <= 6_500_000 or bkv == bq
+    # the flagship 896_L shape: one kv step, ~544-row sub-blocks
+    Np, bq, bkv, nsub = _choose_fwd_blocks(4097)
+    assert (Np, bq, bkv) == (4224, 384, 4224) and bkv // nsub == 528
+    # 1288_L: 8704 does NOT fit one step -> multiple kv steps w/ corrections
+    Np, bq, bkv, nsub = _choose_fwd_blocks(8465)
+    assert Np == 8704 and Np // bkv > 1
+
+
+@pytest.mark.parametrize("N", [256, 257, 1200])  # 1200: multi-kv-step path
+def test_flash_merged_matches_reference(N, rng):
+    """Heads-merged output (kernel-native transposed layout) vs reference."""
+    from multihmr_tpu.ops.attention import flash_attention_merged
+
+    B, H, D = 1, 2, 32
+    q, k, v = [
+        jnp.asarray(rng.normal(size=(B, H, N, D)).astype(np.float32))
+        for _ in range(3)
+    ]
+    out_m = flash_attention_merged(q, k, v, None, True)
+    ref = mha_reference(q, k, v).transpose(0, 2, 1, 3).reshape(B, N, H * D)
+    np.testing.assert_allclose(np.asarray(out_m), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_transposed_out_layout(rng):
+    B, H, N, D = 1, 2, 200, 16
+    q, k, v = [
+        jnp.asarray(rng.normal(size=(B, H, N, D)).astype(np.float32))
+        for _ in range(3)
+    ]
+    out_t = flash_attention(q, k, v, interpret=True, transposed_out=True)
+    out = flash_attention(q, k, v, interpret=True)
+    assert out_t.shape == (B, H, D, N)
+    np.testing.assert_allclose(
+        np.asarray(out_t.transpose(0, 1, 3, 2)), np.asarray(out), atol=0
+    )

@@ -63,3 +63,27 @@ def test_flash_fwd_lse(rng):
     s = np.einsum("bhnd,bhmd->bhnm", np.asarray(q), np.asarray(k)) * D ** -0.5
     want = np.log(np.exp(s - s.max(-1, keepdims=True)).sum(-1)) + s.max(-1)
     np.testing.assert_allclose(np.asarray(lse), want, atol=2e-5)
+
+
+@pytest.mark.parametrize("N", [160, 1200])  # padded tail; multi-kv-step
+def test_flash_merged_vjp_matches_reference_grad(rng, N):
+    """Gradients through the heads-merged flash path (custom VJP with the
+    cotangent transposed back into the blockwise backward kernels)."""
+    B, H, D = 1, 2, 32
+    q, k, v = [
+        jnp.asarray(rng.normal(size=(B, H, N, D)).astype(np.float32))
+        for _ in range(3)
+    ]
+
+    def loss_flash(q, k, v):
+        return jnp.sum(jnp.tanh(A.flash_attention_merged(q, k, v, None, True)))
+
+    def loss_ref(q, k, v):
+        out = A.mha_reference(q, k, v)
+        merged = out.transpose(0, 2, 1, 3).reshape(B, N, H * D)
+        return jnp.sum(jnp.tanh(merged))
+
+    g_f = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_f, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
