@@ -28,6 +28,7 @@ enable_persistent_cache(os.path.join(os.path.dirname(os.path.abspath(__file__)),
 import jax.numpy as jnp
 
 from multihmr_tpu.factory import build_model
+from multihmr_tpu.utils.precision import cast_backbone_bf16
 
 BASELINE_MS = 126.0  # multiHMR_896_L on V100 (reference README.md:87)
 ITERS = 8
@@ -36,7 +37,9 @@ ITERS = 8
 def main():
     model, _ = build_model("multiHMR_896_L")
     cfg = model.cfg
-    params = model.init_params(jax.random.PRNGKey(0))
+    # bf16 weight storage: kills the per-call fp32→bf16 stacked-kernel
+    # converts (~2.5 ms profiled); see utils/precision.py
+    params = cast_backbone_bf16(model.init_params(jax.random.PRNGKey(0)))
 
     S = cfg.img_size
     x = jax.random.normal(jax.random.PRNGKey(1), (1, S, S, 3), jnp.float32)

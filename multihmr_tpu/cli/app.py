@@ -38,6 +38,9 @@ def build_infer(model_name: str, ckpt, model=None, params=None, cache_dir=None,
         model, params = build_model(model_name, checkpoint=ckpt)
     if params is None:
         params = model.init_params(jax.random.PRNGKey(0))
+    from multihmr_tpu.utils.precision import cast_backbone_bf16
+
+    params = cast_backbone_bf16(params)  # inference: bf16 weight storage
     faces = np.asarray(model.body_model.faces)
     fwd_cache = {}
 

@@ -60,6 +60,9 @@ def main():
     if params is None:
         print("WARNING: no checkpoint given — running with random weights")
         params = model.init_params(jax.random.PRNGKey(0))
+    from multihmr_tpu.utils.precision import cast_backbone_bf16
+
+    params = cast_backbone_bf16(params)  # inference: bf16 weight storage
 
     fwd = jax.jit(
         lambda p, x, K: model.forward(

@@ -27,10 +27,23 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from multihmr_tpu.config import ViTConfig
-from multihmr_tpu.parallel.ring_attention import mesh_attention_merged
+from multihmr_tpu.parallel.ring_attention import (
+    mesh_attention_merged,
+    mesh_attention_t,
+)
+
+
+def _gelu(x, dtype):
+    """GELU with precision-matched flavor: exact (erf) in fp32 — bit-faithful
+    to torch's ``nn.GELU`` default for the parity tests — and tanh-approx in
+    bf16, where the approximation error (max 5e-4) sits far below bf16
+    quantization noise (ulp 1.6e-2 at |x|≈3) while erf costs 0.235 ms per
+    fc1 tile on v5e vs tanh's 0.026 ms (measured; ~5 ms per ViT-L forward)."""
+    return nn.gelu(x, approximate=jnp.dtype(dtype) == jnp.bfloat16)
 
 
 class Mlp(nn.Module):
@@ -41,7 +54,7 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x, approximate=False)
+        x = _gelu(x, self.dtype)
         x = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
         return x
 
@@ -113,6 +126,133 @@ class Block(nn.Module):
         return x, None
 
 
+# ---------------------------------------------------------------------------
+# Transposed stream: the residual stream kept channels-major [B, D, N].
+#
+# Why (profiled on v5e, 896_L): with the standard [B, N, D] stream every
+# attention layer pays a layout transform into [3, B, H, N, 64] whose
+# (8, 128)-tiled minor dim is 64 → HALF-EMPTY tiles (2× HBM for q/k/v), plus
+# the matching pad/bitcast fusions around the Pallas call (~0.2 ms/layer).
+# Channels-major, the qkv projection einsum ("io,bin->bon") emits [B, 3D, N]
+# whose head slices reshape to the flash kernel's native [B, H, 64, N]
+# operand layout for FREE (minor dim untouched, fully-packed tiles), and the
+# kernel's output feeds the proj einsum directly. Boundary transposes happen
+# ONCE per forward (after patch embedding, before the final LayerNorm).
+#
+# The T* modules use the SAME parameter names and shapes as their flax
+# twins (kernel [in, out], bias/scale [dim]), so checkpoints, the torch
+# converter, and the TP sharding rules are layout-agnostic.
+# ---------------------------------------------------------------------------
+
+
+class TDense(nn.Module):
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):  # [B, in, N] → [B, out, N]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (x.shape[1], self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        y = jnp.einsum(
+            "io,bin->bon", kernel.astype(self.dtype), x.astype(self.dtype)
+        )
+        return y + bias.astype(self.dtype)[None, :, None]
+
+
+class TLayerNorm(nn.Module):
+    """fp32 LayerNorm over the channel (sublane) dim of ``[B, D, N]``."""
+
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        D = x.shape[1]
+        scale = self.param("scale", nn.initializers.ones, (D,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (D,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), axis=1, keepdims=True)
+        y = (xf - mu) * jax.lax.rsqrt(var + self.epsilon)
+        return y * scale[None, :, None] + bias[None, :, None]
+
+
+class TLayerScale(nn.Module):
+    dim: int
+    init: float = 1e-5
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):  # [B, D, N]
+        gamma = self.param(
+            "gamma", nn.initializers.constant(self.init), (self.dim,), jnp.float32
+        )
+        return x * gamma.astype(self.dtype)[None, :, None]
+
+
+class TMlp(nn.Module):
+    dim: int
+    hidden: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = TDense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        x = _gelu(x, self.dtype)
+        return TDense(self.dim, dtype=self.dtype, name="fc2")(x)
+
+
+class TAttention(nn.Module):
+    dim: int
+    num_heads: int
+    dtype: Any = jnp.bfloat16
+    mesh: Any = None
+    tp_mode: str = "heads"
+
+    @nn.compact
+    def __call__(self, x):  # [B, D, N]
+        B, D, N = x.shape
+        h = self.num_heads
+        dh = D // h
+        qkv = TDense(3 * D, dtype=self.dtype, name="qkv")(x)  # [B, 3D, N]
+        qkv = qkv.reshape(B, 3, h, dh, N)  # free: minor dim untouched
+        q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]  # [B, h, dh, N]
+        out = mesh_attention_t(q, k, v, self.mesh, mode=self.tp_mode)
+        out = out.reshape(B, D, N)  # free merge
+        return TDense(self.dim, dtype=self.dtype, name="proj")(out)
+
+
+class TBlock(nn.Module):
+    """Transposed-stream twin of :class:`Block` — identical parameter tree."""
+
+    cfg: ViTConfig
+    dtype: Any = jnp.bfloat16
+    mesh: Any = None
+    tp_mode: str = "heads"
+
+    @nn.compact
+    def __call__(self, x, _scan_unused=None):
+        c = self.cfg
+        y = TLayerNorm(name="norm1")(x)
+        y = TAttention(
+            c.embed_dim, c.num_heads, self.dtype,
+            mesh=self.mesh, tp_mode=self.tp_mode, name="attn",
+        )(y.astype(self.dtype))
+        x = x + TLayerScale(c.embed_dim, c.layerscale_init, self.dtype, name="ls1")(y)
+        y = TLayerNorm(name="norm2")(x)
+        y = TMlp(c.embed_dim, int(c.embed_dim * c.mlp_ratio), self.dtype, name="mlp")(
+            y.astype(self.dtype)
+        )
+        x = x + TLayerScale(c.embed_dim, c.layerscale_init, self.dtype, name="ls2")(y)
+        return x, None
+
+
 class ScannedBlocks(nn.Module):
     """``depth`` transformer blocks under ``nn.scan``: ONE compiled block
     body instead of ``depth`` separate ones. Cuts XLA compile time ~depth-fold
@@ -124,15 +264,16 @@ class ScannedBlocks(nn.Module):
     remat: bool = False
     mesh: Any = None
     tp_mode: str = "heads"
+    transposed: bool = False
 
     @nn.compact
     def __call__(self, tokens):
-        block_cls = Block
+        block_cls = TBlock if self.transposed else Block
         if self.remat:
             # rematerialize each block in the backward pass: activation
             # memory drops from O(depth·N·D) to O(N·D) at ~33% extra FLOPs —
             # required for ViT-L-896 training batches (jax.checkpoint).
-            block_cls = nn.remat(Block, prevent_cse=False)
+            block_cls = nn.remat(block_cls, prevent_cse=False)
         scan = nn.scan(
             block_cls,
             variable_axes={"params": 0},
@@ -159,6 +300,12 @@ class DINOv2ViT(nn.Module):
     remat: bool = False
     mesh: Any = None
     tp_mode: str = "heads"
+    # channels-major [B, D, N] residual stream through the blocks (see the
+    # "Transposed stream" comment above). Parameter-tree identical to the
+    # standard stream; numerics identical up to fp reassociation. "ring"
+    # (sequence-parallel) keeps the standard stream — its collectives want
+    # the sequence on a shardable major dim.
+    transposed_stream: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -189,17 +336,24 @@ class DINOv2ViT(nn.Module):
         )
         tokens = tokens + pos.astype(self.dtype)
 
+        transposed = self.transposed_stream and self.tp_mode != "ring"
+        if transposed:
+            tokens = tokens.transpose(0, 2, 1)  # [B, D, 1+N] channels-major
         if self.scan_blocks:
             tokens = ScannedBlocks(
                 c, self.dtype, remat=self.remat,
-                mesh=self.mesh, tp_mode=self.tp_mode, name="blocks",
+                mesh=self.mesh, tp_mode=self.tp_mode, transposed=transposed,
+                name="blocks",
             )(tokens)
         else:
+            block_cls = TBlock if transposed else Block
             for i in range(c.depth):
-                tokens = Block(
+                tokens = block_cls(
                     c, self.dtype, mesh=self.mesh, tp_mode=self.tp_mode,
                     name=f"block{i}",
                 )(tokens)[0]
+        if transposed:
+            tokens = tokens.transpose(0, 2, 1)  # back to [B, 1+N, D]
 
         tokens = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(tokens)
         return {

@@ -158,14 +158,18 @@ _STEP_BYTES = 6_500_000
 _BSUB_TARGET = 544  # swept on v5e: ~544-row sub-blocks overlap MXU/VPU best
 
 
-def _choose_fwd_blocks(N, block_q=None, block_kv=None, pad_to=None):
+def _choose_fwd_blocks(N, block_q=None, block_kv=None, pad_to=None,
+                       sub_align=8):
     """(Np, bq, bkv, nsub) for the forward kernel.
 
     Np: smallest lane-aligned padded length with a ≥256 q-block (attention
     FLOPs scale with Np², so 4097→4224/384 beats 4097→4608/512); bkv: the
     largest divisor of Np whose score tile fits _STEP_BYTES — ViT shapes
     (Np ≤ 4224) run in ONE kv step, 8465→8704 runs in four; nsub splits the
-    step into ~544-row sub-blocks for MXU/VPU overlap.
+    step into ~544-row sub-blocks for MXU/VPU overlap. ``sub_align``: the
+    sub-block size granularity — 8 when kv is a sublane dim (standard
+    layout), 128 when kv is a lane dim (transposed stream: lane slices must
+    be tile-aligned).
     """
     if pad_to is not None:
         assert block_q and block_kv, "pad_to requires explicit blocks"
@@ -183,7 +187,7 @@ def _choose_fwd_blocks(N, block_q=None, block_kv=None, pad_to=None):
     nsub = 1
     best = abs(bkv - _BSUB_TARGET)
     for n in range(2, 17):
-        if bkv % (8 * n) == 0 and abs(bkv // n - _BSUB_TARGET) < best:
+        if bkv % (sub_align * n) == 0 and abs(bkv // n - _BSUB_TARGET) < best:
             nsub, best = n, abs(bkv // n - _BSUB_TARGET)
     return Np, bq, bkv, nsub
 
@@ -286,6 +290,192 @@ def flash_attention(
         interpret=interpret, pad_to=pad_to,
     )
     return out_t if transposed_out else out_t.transpose(0, 1, 3, 2)
+
+
+# ---------------------------------------------------------------------------
+# Transposed-stream entry: q/k/v arrive channels-major [B, H, Dh, N].
+#
+# With the ViT residual stream kept as [B, D, N] (see models/vit.py
+# "transposed stream"), the qkv projection's output slices reshape to
+# [B, H, Dh, N] for FREE (minor dim untouched) and that IS the kernel's
+# native operand layout: k_t·qᵀ contracts the Dh sublanes directly and the
+# output needs no transform. It also fixes a 2× HBM tax: [.., N, 64] arrays
+# tile as (8,128) with half the lanes empty, while [.., 64, N] tiles are
+# fully packed.
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel_t(
+    q_ref, k_ref, v_ref, o_ref, lse_ref, *scratch,
+    kv_steps, bkv, nsub, kv_len, padded,
+):
+    """Transposed-operand twin of :func:`_fwd_kernel`: q [1, Dh, bq],
+    k/v [1, Dh, bkv], out [1, Dh, bq]. kv sub-blocks are LANE slices of k/v
+    (must be 128-aligned — _choose_fwd_blocks(sub_align=128)); the score
+    tile s_t [bsub, bq] and all softmax math are identical."""
+    kv_i = pl.program_id(2)
+    q = q_ref[0]  # [Dh, bq], pre-scaled by scale·log2(e)
+    bsub = bkv // nsub
+    tail_local = kv_len - (kv_steps - 1) * bkv
+
+    sts = []
+    for t in range(nsub):
+        k = k_ref[0][:, t * bsub:(t + 1) * bsub]  # [Dh, bsub]
+        st = jax.lax.dot_general(
+            k, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bsub, bq]
+        if padded and (t + 1) * bsub > tail_local:
+            row = (jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)
+                   + kv_i * bkv + t * bsub)
+            st = jnp.where(row < kv_len, st, _NEG)
+        sts.append(st)
+
+    m_step = jnp.max(sts[0], axis=0)
+    for st in sts[1:]:
+        m_step = jnp.maximum(m_step, jnp.max(st, axis=0))
+
+    def _accumulate(m_cur):
+        acc = None
+        l = None
+        for t, st in enumerate(sts):
+            p = jnp.exp2(st - m_cur[None, :]).astype(v_ref.dtype)
+            v = v_ref[0][:, t * bsub:(t + 1) * bsub]  # [Dh, bsub]
+            pv = jax.lax.dot_general(
+                v, p, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [Dh, bq]
+            ls = jnp.sum(p.astype(jnp.float32), axis=0)
+            acc = pv if acc is None else acc + pv
+            l = ls if l is None else l + ls
+        return acc, l
+
+    if kv_steps == 1:
+        acc, l = _accumulate(m_step)
+        o_ref[0] = (acc / l[None, :]).astype(o_ref.dtype)
+        lse_ref[0, 0] = (m_step + jnp.log2(l)) * _LN2
+    else:
+        acc_ref, m_ref, l_ref = scratch
+
+        @pl.when(kv_i == 0)
+        def _init():
+            m_ref[:] = jnp.full_like(m_ref, _NEG)
+            l_ref[:] = jnp.zeros_like(l_ref)
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        m_prev = m_ref[0]
+        m_cur = jnp.maximum(m_prev, m_step)
+        corr = jnp.exp2(m_prev - m_cur)
+        acc, l = _accumulate(m_cur)
+        m_ref[0] = m_cur
+        l_ref[0] = l_ref[0] * corr + l
+        acc_ref[:] = acc_ref[:] * corr[None, :] + acc
+
+        @pl.when(kv_i == kv_steps - 1)
+        def _finalize():
+            o_ref[0] = (acc_ref[:] / l_ref[0][None, :]).astype(o_ref.dtype)
+            lse_ref[0, 0] = (m_ref[0] + jnp.log2(l_ref[0])) * _LN2
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def _flash_fwd_impl_t(q, k, v, scale=None, interpret=False):
+    """``[B, H, Dh, N]`` in → (out_t ``[B, H, Dh, N]``, lse ``[B, H, N]``)."""
+    B, H, D, N = q.shape
+    if scale is None:
+        scale = D ** -0.5
+    Np, bq, bkv, nsub = _choose_fwd_blocks(N, sub_align=128)
+    q = q * jnp.asarray(scale * _LOG2E, q.dtype)
+    if Np != N:
+        pad = [(0, 0), (0, 0), (0, 0), (0, Np - N)]
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    kv_steps = Np // bkv
+
+    qf = q.reshape(B * H, D, Np)
+    kf = k.reshape(B * H, D, Np)
+    vf = v.reshape(B * H, D, Np)
+
+    out, lse = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel_t, kv_steps=kv_steps, bkv=bkv, nsub=nsub, kv_len=N,
+            padded=Np != N,
+        ),
+        grid=(B * H, Np // bq, kv_steps),
+        in_specs=[
+            pl.BlockSpec((1, D, bq), lambda b, i, j: (b, 0, i)),
+            pl.BlockSpec((1, D, bkv), lambda b, i, j: (b, 0, j)),
+            pl.BlockSpec((1, D, bkv), lambda b, i, j: (b, 0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, D, bq), lambda b, i, j: (b, 0, i)),
+            pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, D, Np), q.dtype),
+            jax.ShapeDtypeStruct((B * H, 1, Np), jnp.float32),
+        ],
+        scratch_shapes=[] if kv_steps == 1 else [
+            pltpu.VMEM((D, bq), jnp.float32),
+            pltpu.VMEM((1, bq), jnp.float32),
+            pltpu.VMEM((1, bq), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qf, kf, vf)
+    out = out.reshape(B, H, D, Np)
+    lse = lse.reshape(B, H, Np)
+    if Np != N:
+        out, lse = out[:, :, :, :N], lse[:, :, :N]
+    return out, lse
+
+
+def mha_reference_t(q, k, v, scale=None):
+    """Plain attention in the transposed layout, ``[B, H, Dh, N]`` in/out."""
+    if scale is None:
+        scale = q.shape[-2] ** -0.5
+    logits = jnp.einsum("bhdn,bhdm->bhnm", q, k) * scale
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
+    return jnp.einsum("bhnm,bhdm->bhdn", probs, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_attention_t(q, k, v, scale=None, interpret=False):
+    """Differentiable transposed-stream flash attention, ``[B,H,Dh,N]``
+    in/out. Backward reuses the standard blockwise kernels on transposed
+    views (the extra transposes cost only during training)."""
+    return _flash_fwd_impl_t(q, k, v, scale=scale, interpret=interpret)[0]
+
+
+def _fat_fwd(q, k, v, scale, interpret):
+    out_t, lse = _flash_fwd_impl_t(q, k, v, scale=scale, interpret=interpret)
+    return out_t, (q, k, v, out_t, lse)
+
+
+def _fat_bwd(scale, interpret, res, g):
+    q, k, v, out_t, lse = res
+    std = lambda t: t.transpose(0, 1, 3, 2)  # [B,H,Dh,N] → [B,H,N,Dh]
+    dq, dk, dv = _flash_bwd_impl(
+        std(q), std(k), std(v), std(out_t), lse, std(g),
+        scale=scale, interpret=interpret,
+    )
+    return std(dq), std(dk), std(dv)
+
+
+flash_attention_t.defvjp(_fat_fwd, _fat_bwd)
+
+
+def attention_t(
+    q: jax.Array, k: jax.Array, v: jax.Array, scale: float | None = None,
+    use_flash: bool | None = None,
+) -> jax.Array:
+    """Transposed-stream dispatch: Pallas on TPU for long sequences, XLA
+    einsum elsewhere. ``[B, H, Dh, N]`` in/out."""
+    N = q.shape[-1]
+    if use_flash is None:
+        use_flash = _on_tpu() and N >= 1024
+    if use_flash:
+        return flash_attention_t(q, k, v, scale)
+    return mha_reference_t(q, k, v, scale=scale)
 
 
 def _pad_and_block(n: int, target: int) -> tuple[int, int]:

@@ -23,7 +23,11 @@ try:  # jax ≥ 0.9 top-level API; fall back to the experimental path
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
-from multihmr_tpu.ops.attention import attention_merged, multi_head_attention
+from multihmr_tpu.ops.attention import (
+    attention_merged,
+    attention_t,
+    multi_head_attention,
+)
 
 
 def _local_attn_stats(q, k, v, scale, col_base=None, kv_len=None):
@@ -242,4 +246,49 @@ def mesh_attention_merged(
     return shard_map(
         local, mesh=mesh, in_specs=(spec, spec, spec),
         out_specs=P(batch_axis, None, axis),
+    )(q, k, v)
+
+
+def mesh_attention_t(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mesh: Mesh | None,
+    mode: str = "heads",
+    axis: str = "model",
+    scale: float | None = None,
+) -> jax.Array:
+    """Mesh-aware TRANSPOSED-stream attention: ``[B, H, Dh, N]`` in/out.
+
+    The transposed-stream ViT (models/vit.py) hot path: single-chip goes
+    straight to the transposed Pallas kernel; Megatron TP shard_maps it over
+    head shards (heads = dim 1, same spec position as the standard layout);
+    ring/sequence-parallel transposes at the boundary (multi-chip SP already
+    pays ppermute — the one transpose is noise there).
+    """
+    if mesh is None or axis not in mesh.shape or mesh.shape[axis] <= 1:
+        return attention_t(q, k, v, scale=scale)
+    batch_axis = None
+    if "data" in mesh.shape and mesh.shape["data"] > 1 \
+            and q.shape[0] % mesh.shape["data"] == 0:
+        batch_axis = "data"
+    if mode == "ring":
+        std = lambda t: t.transpose(0, 1, 3, 2)
+        out = sequence_parallel_attention(
+            std(q), std(k), std(v), mesh, axis=axis, scale=scale,
+            batch_axis=batch_axis,
+        )
+        return out.transpose(0, 1, 3, 2)
+    assert mode == "heads", mode
+    n = mesh.shape[axis]
+    assert q.shape[1] % n == 0, (
+        f"num_heads={q.shape[1]} not divisible by mesh axis {axis!r}={n}"
+    )
+    spec = P(batch_axis, axis, None, None)
+
+    def local(q, k, v):
+        return attention_t(q, k, v, scale=scale)
+
+    return shard_map(
+        local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec
     )(q, k, v)

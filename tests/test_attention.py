@@ -82,3 +82,36 @@ def test_flash_transposed_out_layout(rng):
     np.testing.assert_allclose(
         np.asarray(out_t.transpose(0, 1, 3, 2)), np.asarray(out), atol=0
     )
+
+
+@pytest.mark.parametrize("N", [256, 257, 1200])
+def test_flash_t_matches_reference(N, rng):
+    """Transposed-stream kernel ([B,H,Dh,N] operands) vs plain attention."""
+    from multihmr_tpu.ops.attention import flash_attention_t
+
+    B, H, D = 1, 2, 64
+    q, k, v = [
+        jnp.asarray(rng.normal(size=(B, H, N, D)).astype(np.float32))
+        for _ in range(3)
+    ]
+    t = lambda x: x.transpose(0, 1, 3, 2)
+    out_t = flash_attention_t(t(q), t(k), t(v), None, True)
+    ref = mha_reference(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(t(out_t)), np.asarray(ref), atol=2e-5
+    )
+
+
+def test_mha_reference_t_matches_standard(rng):
+    from multihmr_tpu.ops.attention import mha_reference_t
+
+    B, H, N, D = 2, 3, 33, 16
+    q, k, v = [
+        jnp.asarray(rng.normal(size=(B, H, N, D)).astype(np.float32))
+        for _ in range(3)
+    ]
+    t = lambda x: x.transpose(0, 1, 3, 2)
+    out_t = mha_reference_t(t(q), t(k), t(v))
+    np.testing.assert_allclose(
+        np.asarray(t(out_t)), np.asarray(mha_reference(q, k, v)), atol=1e-5
+    )

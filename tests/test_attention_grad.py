@@ -87,3 +87,26 @@ def test_flash_merged_vjp_matches_reference_grad(rng, N):
     g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g_f, g_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+@pytest.mark.parametrize("N", [160, 1200])
+def test_flash_t_vjp_matches_reference_grad(rng, N):
+    """Transposed-stream custom VJP (standard backward kernels on transposed
+    views) vs jax.grad through plain attention."""
+    B, H, D = 1, 2, 32
+    q, k, v = [
+        jnp.asarray(rng.normal(size=(B, H, N, D)).astype(np.float32))
+        for _ in range(3)
+    ]
+    t = lambda x: x.transpose(0, 1, 3, 2)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(jnp.tanh(A.flash_attention_t(t(q), t(k), t(v), None, True)))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.tanh(t(A.mha_reference(q, k, v))))
+
+    g_f = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_f, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)

@@ -158,3 +158,40 @@ def test_full_model_padding_invariance():
     np.testing.assert_allclose(
         np.asarray(out4["rotvec"])[0, :n], np.asarray(out8["rotvec"])[0, :n], atol=1e-4
     )
+
+
+def test_bf16_param_cast_matches_fp32():
+    """cast_backbone_bf16 (inference weight storage) must not change outputs
+    beyond bf16 noise — the backbone already COMPUTES in bf16 either way."""
+    from multihmr_tpu.utils.precision import cast_backbone_bf16
+
+    cfg = TinyConfig(
+        img_size=56, max_people=4, person_center="j5", compute_dtype="bfloat16"
+    )
+    bm = synthetic_body_model()
+    names = [f"j{i}" for i in range(bm.num_output_joints)]
+    model = MultiHMR(cfg, bm, person_center_joint_names=names)
+    params = model.init_params(jax.random.PRNGKey(0))
+    S = model.cfg.img_size
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, S, S, 3)).astype(np.float32)
+    )
+    K = jnp.broadcast_to(
+        jnp.asarray([[100.0, 0, S / 2], [0, 100.0, S / 2], [0, 0, 1.0]]), (1, 3, 3)
+    )
+    cast = cast_backbone_bf16(params)
+    # LayerNorms stay fp32, matmul kernels become bf16
+    bb = cast["params"]["backbone"]
+    leaves = jax.tree_util.tree_leaves(bb["blocks"]["block"]["norm1"])
+    assert all(l.dtype == jnp.float32 for l in leaves)
+    leaves = jax.tree_util.tree_leaves(bb["blocks"]["block"]["attn"])
+    assert all(l.dtype == jnp.bfloat16 for l in leaves)
+
+    out32 = model.forward(params, x, K)
+    out16 = model.forward(cast, x, K)
+    np.testing.assert_allclose(
+        np.asarray(out16["v3d"]), np.asarray(out32["v3d"]), atol=2e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(out16["scores"]), np.asarray(out32["scores"]), atol=3e-2
+    )

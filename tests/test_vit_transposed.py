@@ -1,0 +1,58 @@
+"""Transposed-stream ViT ([B, D, N] channels-major blocks) equivalence.
+
+The transposed stream is a pure LAYOUT change: identical parameter tree,
+identical math up to fp reassociation. These tests pin that equivalence —
+outputs must match the standard stream on the same params.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from multihmr_tpu.config import ViTConfig
+from multihmr_tpu.models.vit import DINOv2ViT
+
+
+def _mk(transposed, dtype=jnp.float32):
+    cfg = ViTConfig(embed_dim=64, depth=2, num_heads=4)
+    return DINOv2ViT(
+        cfg, grid_size=4, dtype=dtype, transposed_stream=transposed
+    )
+
+
+def test_transposed_stream_matches_standard():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 56, 56, 3)).astype(np.float32))
+    std = _mk(False)
+    tps = _mk(True)
+    params = std.init(jax.random.PRNGKey(0), x)
+    # identical parameter trees: the T* modules reuse flax names/shapes
+    p2 = tps.init(jax.random.PRNGKey(0), x)
+    s1 = jax.tree_util.tree_map(lambda a: (a.shape, str(a.dtype)), params)
+    s2 = jax.tree_util.tree_map(lambda a: (a.shape, str(a.dtype)), p2)
+    assert s1 == s2
+    out_s = std.apply(params, x)
+    out_t = tps.apply(params, x)
+    np.testing.assert_allclose(
+        np.asarray(out_t["patch_tokens"]),
+        np.asarray(out_s["patch_tokens"]),
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_t["cls_token"]), np.asarray(out_s["cls_token"]), atol=1e-4
+    )
+
+
+def test_transposed_stream_grads_flow():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1, 56, 56, 3)).astype(np.float32))
+    tps = _mk(True)
+    params = tps.init(jax.random.PRNGKey(0), x)
+
+    def loss(p):
+        return jnp.sum(tps.apply(p, x)["patch_tokens"] ** 2)
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
