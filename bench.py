@@ -1,17 +1,25 @@
-"""Benchmark: multiHMR_896_L end-to-end single-image latency on one TPU chip.
+"""Benchmark: multiHMR end-to-end latency/throughput on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Default: measures the flagship (multiHMR_896_L, single image) and prints ONE
+JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: 126 ms/img on V100-32GB (reference README.md:87,95; BASELINE.md).
 ``vs_baseline`` is the speedup factor (baseline_ms / our_ms, >1 = faster).
+
+``--sweep``: additionally measures 672_S/B/L latency, batch-8 672_B
+throughput, and 1288_L, and writes ``BENCH_SWEEP.json`` next to this file —
+the driver-collectable evidence for the README performance table.
 
 Methodology: the axon tunnel adds ~25 ms of host↔device readback latency, so
 latency is measured by running ITERS chained forwards inside one jit (each
 iteration consumes the previous output so nothing is elided) and dividing —
-the same way a production pipeline amortizes dispatch.
+the same way a production pipeline amortizes dispatch. The median of
+REPEATS runs is reported after dropping the slowest (one-off remote-compile
+or tunnel hiccups showed up as isolated +20% outliers).
 """
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -32,26 +40,27 @@ from multihmr_tpu.utils.precision import cast_backbone_bf16
 
 BASELINE_MS = 126.0  # multiHMR_896_L on V100 (reference README.md:87)
 ITERS = 8
+REPEATS = 7
 
 
-def main():
-    model, _ = build_model("multiHMR_896_L")
+def measure_model(name: str, batch: int = 1) -> float:
+    """p50 per-image latency (ms) of ``name`` at the given batch size."""
+    model, _ = build_model(name)
     cfg = model.cfg
-    # bf16 weight storage: kills the per-call fp32→bf16 stacked-kernel
-    # converts (~2.5 ms profiled); see utils/precision.py
+    # NOTE: params must be a jit ARGUMENT — closing over them would inline
+    # ~1.2 GB of constants into the program and blow up compile time.
+    # bf16 weight storage kills the per-call fp32→bf16 converts.
     params = cast_backbone_bf16(model.init_params(jax.random.PRNGKey(0)))
 
     S = cfg.img_size
-    x = jax.random.normal(jax.random.PRNGKey(1), (1, S, S, 3), jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (batch, S, S, 3), jnp.float32)
     K = jnp.broadcast_to(
         jnp.asarray(
             [[754.0, 0, S / 2], [0, 754.0, S / 2], [0, 0, 1.0]], jnp.float32
         ),
-        (1, 3, 3),
+        (batch, 3, 3),
     )
 
-    # NOTE: params must be a jit ARGUMENT — closing over them would inline
-    # ~1.2 GB of constants into the program and blow up compile time.
     @jax.jit
     def chained(params, x):
         def body(carry, _):
@@ -63,13 +72,14 @@ def main():
         final, _ = jax.lax.scan(body, x, None, length=ITERS)
         return jnp.sum(final)
 
-    _ = float(chained(params, x))  # compile + warmup
+    for _ in range(2):  # compile + genuine warmup (first post-compile run
+        _ = float(chained(params, x))  # can pay one-off cache/load costs)
     times = []
-    for _ in range(5):
+    for _ in range(REPEATS):
         t0 = time.perf_counter()
         float(chained(params, x))
         times.append((time.perf_counter() - t0) / ITERS)
-    # subtract the measured readback latency using an empty-ish program
+    # measured readback/dispatch constant, amortized over the same ITERS
     @jax.jit
     def nop(x):
         return jnp.sum(x)
@@ -79,19 +89,54 @@ def main():
         t0 = time.perf_counter()
         float(nop(x))
         lat.append(time.perf_counter() - t0)
-    overhead = np.median(lat) / ITERS  # amortized over the same ITERS
+    overhead = np.median(lat) / ITERS
+    times = sorted(times)[: max(3, REPEATS - 2)]  # drop outlier tail
     p50 = max(np.median(times) - overhead, 1e-9) * 1e3
+    return float(p50) / batch
 
+
+def main():
+    sweep = "--sweep" in sys.argv
+    p50 = measure_model("multiHMR_896_L")
     print(
         json.dumps(
             {
                 "metric": "p50_ms_per_image_multiHMR_896_L_e2e",
-                "value": round(float(p50), 3),
+                "value": round(p50, 3),
                 "unit": "ms",
-                "vs_baseline": round(BASELINE_MS / float(p50), 2),
+                "vs_baseline": round(BASELINE_MS / p50, 2),
             }
         )
     )
+    if not sweep:
+        return
+    # Reference V100 numbers (reference README.md:85-95): 896_L 126 ms,
+    # 672_L 74 ms, 672_B 43 ms, 672_S 29 ms. No reference number for
+    # 1288_L (leaderboard-only config, runtime "?") or batched throughput.
+    ref = {"multiHMR_896_L": 126.0, "multiHMR_672_L": 74.0,
+           "multiHMR_672_B": 43.0, "multiHMR_672_S": 29.0}
+    results = {"multiHMR_896_L": {"p50_ms": round(p50, 3),
+                                  "vs_baseline": round(ref["multiHMR_896_L"] / p50, 2)}}
+    for name in ("multiHMR_672_S", "multiHMR_672_B", "multiHMR_672_L",
+                 "multiHMR_1288_L_bedlam"):
+        ms = measure_model(name)
+        entry = {"p50_ms": round(ms, 3)}
+        if name in ref:
+            entry["vs_baseline"] = round(ref[name] / ms, 2)
+        results[name] = entry
+        print(f"# {name}: {ms:.2f} ms", file=sys.stderr)
+    ms8 = measure_model("multiHMR_672_B", batch=8)
+    results["multiHMR_672_B_batch8"] = {
+        "p50_ms_per_image": round(ms8, 3),
+        "throughput_img_s": round(1000.0 / ms8, 1),
+    }
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "BENCH_SWEEP.json")
+    with open(out, "w") as f:
+        json.dump({"device": jax.devices()[0].device_kind,
+                   "iters": ITERS, "repeats": REPEATS,
+                   "results": results}, f, indent=1)
+    print(f"# sweep written to {out}", file=sys.stderr)
 
 
 if __name__ == "__main__":

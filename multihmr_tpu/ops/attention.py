@@ -500,8 +500,10 @@ def _flash_bwd_dq_kernel(
 ):
     """dQ: one (batch*head, q-block) program; grid dim 2 walks kv blocks.
 
-    p = exp(q·kᵀ·scale − lse); dp = dO·vᵀ; ds = p·(dp − D); dq += ds·k·scale
-    where D = rowsum(dO ⊙ O) is precomputed on the host side of the call.
+    p = exp2(q₂·kᵀ − lse₂); dp = dO·vᵀ; ds = p·(dp − D); dq += ds·k·scale
+    where D = rowsum(dO ⊙ O), q₂ = q·scale·log2(e) and lse₂ = lse·log2(e)
+    are precomputed host-side — the per-tile ``s·scale`` multiply vanishes
+    and exp2 is the VPU-native transcendental (same trick as the forward).
     """
     kv_i = pl.program_id(2)
 
@@ -509,17 +511,17 @@ def _flash_bwd_dq_kernel(
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0]  # [Bq, D]
+    q = q_ref[0]  # [Bq, D] — pre-scaled by scale·log2(e)
     k = k_ref[0]  # [Bk, D]
     v = v_ref[0]
     do = do_ref[0].astype(jnp.float32)  # [Bq, D]
-    lse = lse_ref[0, :, 0]  # [Bq]
+    lse = lse_ref[0, :, 0]  # [Bq] — in log2 units
     dd = dd_ref[0, :, 0]  # [Bq]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    p = jnp.exp(s - lse[:, None])  # [Bq, Bk] fp32
+    )
+    p = jnp.exp2(s - lse[:, None])  # [Bq, Bk] fp32
     if kv_len % bkv != 0:  # zero padded keys (only the tail block has them)
         col = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1) + kv_i * bkv
         p = jnp.where(col < kv_len, p, 0.0)
@@ -544,7 +546,9 @@ def _flash_bwd_dkv_kernel(
 ):
     """dK/dV: one (batch*head, kv-block) program; grid dim 2 walks q blocks.
 
-    dv += pᵀ·dO; ds = p·(dp − D); dk += dsᵀ·q·scale. Padded q rows need no
+    dv += pᵀ·dO; ds = p·(dp − D); dk += dsᵀ·q₂/log2(e). q arrives pre-scaled
+    as q₂ = q·scale·log2(e) (see dQ kernel) so dk's ds multiplier becomes
+    1/log2(e) — dsᵀ·q₂/log2(e) = dsᵀ·q·scale exactly. Padded q rows need no
     mask: their dO is zero so both contributions vanish.
     """
     q_i = pl.program_id(2)
@@ -554,17 +558,17 @@ def _flash_bwd_dkv_kernel(
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    q = q_ref[0]  # [Bq, D]
+    q = q_ref[0]  # [Bq, D] — pre-scaled by scale·log2(e)
     k = k_ref[0]  # [Bk, D]
     v = v_ref[0]
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0, :, 0]
+    lse = lse_ref[0, :, 0]  # in log2 units
     dd = dd_ref[0, :, 0]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    p = jnp.exp(s - lse[:, None])  # [Bq, Bk]
+    )
+    p = jnp.exp2(s - lse[:, None])  # [Bq, Bk]
     kv_j = pl.program_id(1)
     if kv_len % bkv != 0:
         col = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1) + kv_j * bkv
@@ -577,7 +581,7 @@ def _flash_bwd_dkv_kernel(
         do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    ds = (p * (dp - dd[:, None]) * scale).astype(q.dtype)
+    ds = (p * (dp - dd[:, None]) * (1.0 / _LOG2E)).astype(q.dtype)
     dk_acc[:] += jax.lax.dot_general(
         ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -603,6 +607,10 @@ def _flash_bwd_impl(
         scale = D ** -0.5
     Np, bq, bkv = _choose_blocks(N, block_q, block_kv, pad_to)
     dd = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)  # [B,H,N]
+    # exp2-space probability reconstruction (see the kernels' docstrings):
+    # q and lse move to log2 units once here, per-tile multiplies vanish.
+    q = q * jnp.asarray(scale * _LOG2E, q.dtype)
+    lse = lse * _LOG2E
     if Np != N:
         pad4 = [(0, 0), (0, 0), (0, Np - N), (0, 0)]
         pad3 = [(0, 0), (0, 0), (0, Np - N)]

@@ -78,8 +78,11 @@ def main():
     t0 = time.time()
     for i in range(args.steps):
         params, opt_state, terms = step(params, opt_state, batch, 0)
-        total = float(terms["total"])
-        print(f"step {i}: loss={total:.4f}  (+{time.time()-t0:.1f}s)")
+        total = float(terms["total"])  # sync point
+        t1 = time.time()
+        note = "incl. compile" if i == 0 else "step"
+        print(f"step {i}: loss={total:.4f}  ({note} {t1 - t0:.2f}s)")
+        t0 = t1
         assert np.isfinite(total), "non-finite loss"
     print("train smoke OK")
 
