@@ -452,13 +452,12 @@ def _fat_fwd(q, k, v, scale, interpret):
 
 
 def _fat_bwd(scale, interpret, res, g):
+    # residuals and cotangent are already channels-major — straight into the
+    # transposed backward kernels, zero boundary transposes
     q, k, v, out_t, lse = res
-    std = lambda t: t.transpose(0, 1, 3, 2)  # [B,H,Dh,N] → [B,H,N,Dh]
-    dq, dk, dv = _flash_bwd_impl(
-        std(q), std(k), std(v), std(out_t), lse, std(g),
-        scale=scale, interpret=interpret,
+    return _flash_bwd_impl_t(
+        q, k, v, out_t, lse, g, scale=scale, interpret=interpret
     )
-    return std(dq), std(dk), std(dv)
 
 
 flash_attention_t.defvjp(_fat_fwd, _fat_bwd)
@@ -494,16 +493,21 @@ def _pad_and_block(n: int, target: int) -> tuple[int, int]:
     return np_cap, target
 
 
-def _flash_bwd_dq_kernel(
+def _bwd_dq_kernel_t(
     q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref, dq_ref, acc_ref,
     *, scale, kv_steps, bkv, kv_len,
 ):
-    """dQ: one (batch*head, q-block) program; grid dim 2 walks kv blocks.
+    """dQ, channels-major: one (batch*head, q-block) program walking kv.
 
-    p = exp2(q₂·kᵀ − lse₂); dp = dO·vᵀ; ds = p·(dp − D); dq += ds·k·scale
-    where D = rowsum(dO ⊙ O), q₂ = q·scale·log2(e) and lse₂ = lse·log2(e)
-    are precomputed host-side — the per-tile ``s·scale`` multiply vanishes
-    and exp2 is the VPU-native transcendental (same trick as the forward).
+    All operands [1, Dh, blk]. p = exp2(kᵀ·q₂ − lse₂) with q₂ = q·scale·
+    log2(e), lse₂ = lse·log2(e) precomputed host-side; dp = vᵀ·dO;
+    ds = p∘(dp − D)·scale; dq_t += k·ds — contraction over the kv extent
+    with bq on the output lanes → FULL MXU rate (the round-1 standard-layout
+    dq matmul idled half the output lanes on D=64). Only the s/dp matmuls
+    keep the inherent D=64 contraction floor.
+
+    Padded kv positions need no mask here: padded k/v are zero, so their
+    ds·k and dp contributions vanish identically.
     """
     kv_i = pl.program_id(2)
 
@@ -511,45 +515,42 @@ def _flash_bwd_dq_kernel(
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0]  # [Bq, D] — pre-scaled by scale·log2(e)
-    k = k_ref[0]  # [Bk, D]
+    q = q_ref[0]    # [Dh, bq] — pre-scaled by scale·log2(e)
+    k = k_ref[0]    # [Dh, bkv]
     v = v_ref[0]
-    do = do_ref[0].astype(jnp.float32)  # [Bq, D]
-    lse = lse_ref[0, :, 0]  # [Bq] — in log2 units
-    dd = dd_ref[0, :, 0]  # [Bq]
+    do = do_ref[0].astype(jnp.float32)  # [Dh, bq]
+    lse = lse_ref[0, 0]  # [bq], log2 units
+    dd = dd_ref[0, 0]    # [bq]
 
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    p = jnp.exp2(s - lse[:, None])  # [Bq, Bk] fp32
-    if kv_len % bkv != 0:  # zero padded keys (only the tail block has them)
-        col = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1) + kv_i * bkv
-        p = jnp.where(col < kv_len, p, 0.0)
+        k, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [bkv, bq]
+    p = jnp.exp2(s - lse[None, :])
     dp = jax.lax.dot_general(
-        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        v.astype(jnp.float32), do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [Bq, Bk]
-    ds = p * (dp - dd[:, None]) * scale
+    )  # [bkv, bq]
+    ds = (p * (dp - dd[None, :]) * scale).astype(k.dtype)
     acc_ref[:] += jax.lax.dot_general(
-        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+        k, ds, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [Dh, bq]
 
     @pl.when(kv_i == kv_steps - 1)
     def _finalize():
         dq_ref[0] = acc_ref[:].astype(dq_ref.dtype)
 
 
-def _flash_bwd_dkv_kernel(
+def _bwd_dkv_kernel_t(
     q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref, dk_ref, dv_ref,
-    dk_acc, dv_acc, *, scale, q_steps, bkv, kv_len,
+    dk_acc, dv_acc, *, q_steps, bkv, kv_len,
 ):
-    """dK/dV: one (batch*head, kv-block) program; grid dim 2 walks q blocks.
+    """dK/dV, channels-major: one (batch*head, kv-block) program walking q.
 
-    dv += pᵀ·dO; ds = p·(dp − D); dk += dsᵀ·q₂/log2(e). q arrives pre-scaled
-    as q₂ = q·scale·log2(e) (see dQ kernel) so dk's ds multiplier becomes
-    1/log2(e) — dsᵀ·q₂/log2(e) = dsᵀ·q·scale exactly. Padded q rows need no
-    mask: their dO is zero so both contributions vanish.
+    dv_t += dO·pᵀ and dk_t += q₂·dsᵀ/log2(e) — both contract over the
+    q extent with bkv on the output lanes → FULL MXU rate (the standard
+    layout paid the D=64 output-lane tax on both). Padded q columns need no
+    mask (their dO is zero); padded kv rows of p are masked so dk/dv's
+    padded rows stay finite before being sliced off.
     """
     q_i = pl.program_id(2)
 
@@ -558,33 +559,33 @@ def _flash_bwd_dkv_kernel(
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    q = q_ref[0]  # [Bq, D] — pre-scaled by scale·log2(e)
-    k = k_ref[0]  # [Bk, D]
+    q = q_ref[0]    # [Dh, bq] — pre-scaled
+    k = k_ref[0]    # [Dh, bkv]
     v = v_ref[0]
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0, :, 0]  # in log2 units
-    dd = dd_ref[0, :, 0]
+    lse = lse_ref[0, 0]
+    dd = dd_ref[0, 0]
 
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    p = jnp.exp2(s - lse[:, None])  # [Bq, Bk]
+        k, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [bkv, bq]
+    p = jnp.exp2(s - lse[None, :])
     kv_j = pl.program_id(1)
     if kv_len % bkv != 0:
-        col = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1) + kv_j * bkv
-        p = jnp.where(col < kv_len, p, 0.0)
+        row = jax.lax.broadcasted_iota(jnp.int32, p.shape, 0) + kv_j * bkv
+        p = jnp.where(row < kv_len, p, 0.0)
     dv_acc[:] += jax.lax.dot_general(
-        p.astype(do_ref.dtype), do_ref[0], (((0,), (0,)), ((), ())),
+        do_ref[0], p.astype(do_ref.dtype), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [Bk, D]
+    )  # [Dh, bkv]
     dp = jax.lax.dot_general(
-        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        v.astype(jnp.float32), do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
-    ds = (p * (dp - dd[:, None]) * (1.0 / _LOG2E)).astype(q.dtype)
+    )  # [bkv, bq]
+    ds = (p * (dp - dd[None, :]) * (1.0 / _LOG2E)).astype(q.dtype)
     dk_acc[:] += jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+        q, ds, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [Dh, bkv]
 
     @pl.when(q_i == q_steps - 1)
     def _finalize():
@@ -592,77 +593,86 @@ def _flash_bwd_dkv_kernel(
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("scale", "block_q", "block_kv", "interpret", "pad_to")
-)
-def _flash_bwd_impl(
-    q, k, v, o, lse, do, scale=None, block_q=512, block_kv=512,
-    interpret=False, pad_to=None,
-):
-    """Flash-attention backward: O(N·block) memory, no [N, N] materialization
-    (the round-1 XLA backward allocated the full fp32 probability matrix —
-    ~0.3 GB per head-slice at 1288², killing large-resolution training)."""
-    B, H, N, D = q.shape
+def _choose_bwd_blocks(N):
+    """(Np, bq, bkv) for the transposed backward: bkv rides the LANE dim of
+    the k/v/do blocks so it must be a multiple of 128; bounded by the fp32
+    [bkv, bq] tile budget (three such tiles live per step)."""
+    Np, bq = _pad_and_block(N, 512)
+    cap = max(_STEP_BYTES // (4 * bq), 128)
+    bkv = bq if Np % bq == 0 else Np
+    for b in range(128, min(Np, cap) + 1, 128):
+        if Np % b == 0:
+            bkv = b
+    return Np, bq, bkv
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def _flash_bwd_impl_t(q, k, v, o, lse, do, scale=None, interpret=False):
+    """Flash-attention backward, channels-major ``[B, H, Dh, N]`` in/out.
+
+    O(N·block) memory, no [N, N] materialization (the round-1 XLA backward
+    allocated the full fp32 probability matrix — ~0.3 GB per head-slice at
+    1288², killing large-resolution training). This is the native layout for
+    the transposed-stream ViT: residuals arrive channels-major and gradients
+    leave channels-major with ZERO boundary transposes.
+    """
+    B, H, D, N = q.shape
     if scale is None:
         scale = D ** -0.5
-    Np, bq, bkv = _choose_blocks(N, block_q, block_kv, pad_to)
-    dd = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)  # [B,H,N]
-    # exp2-space probability reconstruction (see the kernels' docstrings):
-    # q and lse move to log2 units once here, per-tile multiplies vanish.
+    Np, bq, bkv = _choose_bwd_blocks(N)
+    dd = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=2)  # [B,H,N]
+    # exp2-space probability reconstruction: q and lse move to log2 units
+    # once here, per-tile multiplies vanish (see the kernels' docstrings).
     q = q * jnp.asarray(scale * _LOG2E, q.dtype)
     lse = lse * _LOG2E
     if Np != N:
-        pad4 = [(0, 0), (0, 0), (0, Np - N), (0, 0)]
+        pad4 = [(0, 0), (0, 0), (0, 0), (0, Np - N)]
         pad3 = [(0, 0), (0, 0), (0, Np - N)]
         q, k, v, do = (jnp.pad(t, pad4) for t in (q, k, v, do))
         lse, dd = jnp.pad(lse, pad3), jnp.pad(dd, pad3)
     kv_steps = Np // bkv
     q_steps = Np // bq
 
-    flat4 = lambda t: t.reshape(B * H, Np, D)
-    flat3 = lambda t: t.reshape(B * H, Np, 1)
-    qf, kf, vf, dof = flat4(q), flat4(k), flat4(v), flat4(do)
-    lsef, ddf = flat3(lse), flat3(dd)
+    flat = lambda t: t.reshape(B * H, D, Np)
+    qf, kf, vf, dof = flat(q), flat(k), flat(v), flat(do)
+    lsef = lse.reshape(B * H, 1, Np)
+    ddf = dd.reshape(B * H, 1, Np)
 
-    q_spec = pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0))
-    r_spec = pl.BlockSpec((1, bq, 1), lambda b, i, j: (b, i, 0))
+    q_spec = pl.BlockSpec((1, D, bq), lambda b, i, j: (b, 0, i))
+    kv_spec = pl.BlockSpec((1, D, bkv), lambda b, i, j: (b, 0, j))
+    r_spec = pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i))
     dq = pl.pallas_call(
         functools.partial(
-            _flash_bwd_dq_kernel, scale=scale, kv_steps=kv_steps, bkv=bkv, kv_len=N
+            _bwd_dq_kernel_t, scale=scale, kv_steps=kv_steps, bkv=bkv, kv_len=N
         ),
         grid=(B * H, Np // bq, kv_steps),
-        in_specs=[
-            q_spec,
-            pl.BlockSpec((1, bkv, D), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, bkv, D), lambda b, i, j: (b, j, 0)),
-            q_spec, r_spec, r_spec,
-        ],
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec, r_spec, r_spec],
         out_specs=q_spec,
-        out_shape=jax.ShapeDtypeStruct((B * H, Np, D), q.dtype),
-        scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((B * H, D, Np), q.dtype),
+        scratch_shapes=[pltpu.VMEM((D, bq), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(qf, kf, vf, dof, lsef, ddf)
 
-    kv_spec = pl.BlockSpec((1, bkv, D), lambda b, j, i: (b, j, 0))
-    qw_spec = pl.BlockSpec((1, bq, D), lambda b, j, i: (b, i, 0))
-    rw_spec = pl.BlockSpec((1, bq, 1), lambda b, j, i: (b, i, 0))
+    kvw_spec = pl.BlockSpec((1, D, bkv), lambda b, j, i: (b, 0, j))
+    qw_spec = pl.BlockSpec((1, D, bq), lambda b, j, i: (b, 0, i))
+    rw_spec = pl.BlockSpec((1, 1, bq), lambda b, j, i: (b, 0, i))
     dk, dv = pl.pallas_call(
         functools.partial(
-            _flash_bwd_dkv_kernel, scale=scale, q_steps=q_steps, bkv=bkv, kv_len=N
+            _bwd_dkv_kernel_t, q_steps=q_steps, bkv=bkv, kv_len=N
         ),
         grid=(B * H, kv_steps, q_steps),
-        in_specs=[qw_spec, kv_spec, kv_spec, qw_spec, rw_spec, rw_spec],
-        out_specs=[kv_spec, kv_spec],
+        in_specs=[qw_spec, kvw_spec, kvw_spec, qw_spec, rw_spec, rw_spec],
+        out_specs=[kvw_spec, kvw_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((B * H, Np, D), k.dtype),
-            jax.ShapeDtypeStruct((B * H, Np, D), v.dtype),
+            jax.ShapeDtypeStruct((B * H, D, Np), k.dtype),
+            jax.ShapeDtypeStruct((B * H, D, Np), v.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((bkv, D), jnp.float32),
-            pltpu.VMEM((bkv, D), jnp.float32),
+            pltpu.VMEM((D, bkv), jnp.float32),
+            pltpu.VMEM((D, bkv), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -670,8 +680,27 @@ def _flash_bwd_impl(
         interpret=interpret,
     )(qf, kf, vf, dof, lsef, ddf)
 
-    unflat = lambda t: t.reshape(B, H, Np, D)[:, :, :N]
+    unflat = lambda t: t.reshape(B, H, D, Np)[:, :, :, :N]
     return unflat(dq), unflat(dk), unflat(dv)
+
+
+def _flash_bwd_impl(
+    q, k, v, o, lse, do, scale=None, block_q=None, block_kv=None,
+    interpret=False, pad_to=None,
+):
+    """Standard-layout ``[B, H, N, Dh]`` backward: transposes into the
+    channels-major kernels and back. The transposes cost ~0.1 ms each at
+    ViT-L-896 and buy full-MXU-rate dq/dk/dv matmuls (net win); the
+    transposed-stream training path (``flash_attention_t``) skips them
+    entirely. ``block_q``/``block_kv``/``pad_to`` are accepted for
+    signature compatibility and ignored — _choose_bwd_blocks picks the
+    lane-aligned tiling."""
+    del block_q, block_kv, pad_to
+    t = lambda x: x.transpose(0, 1, 3, 2)
+    dq, dk, dv = _flash_bwd_impl_t(
+        t(q), t(k), t(v), t(o), lse, t(do), scale=scale, interpret=interpret
+    )
+    return t(dq), t(dk), t(dv)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
