@@ -1,0 +1,58 @@
+"""Production batching inference server CLI.
+
+    python -m multihmr_tpu.cli.serve --model_name multiHMR_672_B \
+        [--ckpt ...] [--port 8000] [--max_batch 8] [--max_delay_ms 5]
+
+Unlike ``cli.app`` (the interactive single-image demo mirroring reference
+app.py), this serves concurrent clients through a dynamic batcher that
+coalesces requests into one fixed-shape device program — on a v5e, 672_B
+runs batch 8 at the same per-image latency as batch 1, so a loaded server
+gets ~8× the demo's throughput (BENCH_SWEEP.json: 149 img/s).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_name", type=str, default="multiHMR_672_B")
+    p.add_argument("--ckpt", type=str, default=None)
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--max_batch", type=int, default=8)
+    p.add_argument("--max_delay_ms", type=float, default=5.0)
+    p.add_argument("--det_thresh", type=float, default=0.3)
+    p.add_argument("--nms_kernel_size", type=int, default=3)
+    args = p.parse_args()
+
+    import jax
+
+    from multihmr_tpu.factory import build_model
+    from multihmr_tpu.serve import make_server
+    from multihmr_tpu.utils.precision import cast_backbone_bf16
+
+    model, params = build_model(args.model_name, checkpoint=args.ckpt)
+    if params is None:
+        print("WARNING: no checkpoint given — running with random weights")
+        params = model.init_params(jax.random.PRNGKey(0))
+    params = cast_backbone_bf16(params)
+
+    srv, batcher = make_server(
+        model, params, port=args.port, max_batch=args.max_batch,
+        det_thresh=args.det_thresh, nms_kernel_size=args.nms_kernel_size,
+        max_delay_ms=args.max_delay_ms,
+    )
+    print(
+        f"serving {args.model_name} on http://0.0.0.0:{args.port} "
+        f"(POST /infer[?render=1], GET /healthz, GET /stats; "
+        f"batch≤{args.max_batch}, window {args.max_delay_ms} ms)"
+    )
+    try:
+        srv.serve_forever()
+    finally:
+        batcher.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,200 @@
+"""Dynamic request batching for TPU serving.
+
+The reference serves one image per call (app.py `infer`, demo.py loop) — fine
+for a GPU demo, wasteful on a TPU where the compiled program has a fixed
+batch shape and the chip reaches peak throughput only when that batch is
+full (BENCH_SWEEP.json: 672_B runs batch 8 at the SAME per-image latency as
+batch 1 → 8× throughput for free).
+
+:class:`DynamicBatcher` is the TPU-native serving core:
+
+  * ONE jitted fixed-shape program ``[B, S, S, 3]`` reused for every batch —
+    no shape polymorphism, no recompiles;
+  * a worker thread coalesces concurrent requests: it waits at most
+    ``max_delay_ms`` after the first pending request, then pads the batch to
+    capacity (dead slots carry zeros and are dropped on the way out);
+  * two-deep pipelining: batch *i+1* is assembled and DISPATCHED while batch
+    *i*'s host-side extraction runs — jax's async dispatch overlaps device
+    compute with host work, so the chip never idles between batches;
+  * per-request futures so any number of frontend threads (HTTP handlers)
+    block only on their own result.
+
+This is plain Python around one jit; no external serving framework.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, List, Optional
+
+import numpy as np
+
+
+@dataclass
+class _Request:
+    x: np.ndarray  # [S, S, 3] normalized
+    K: np.ndarray  # [3, 3]
+    done: threading.Event = field(default_factory=threading.Event)
+    result: Any = None
+    error: Optional[BaseException] = None
+    t_enqueue: float = field(default_factory=time.perf_counter)
+
+
+class BatcherStats:
+    """Thread-safe rolling serving stats (exposed at GET /stats)."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.requests = 0
+        self.batches = 0
+        self.batch_size_hist: dict = {}
+        self.latencies_ms: List[float] = []
+
+    def record(self, batch_size: int, latencies_ms: List[float]):
+        with self._lock:
+            self.requests += batch_size
+            self.batches += 1
+            self.batch_size_hist[batch_size] = (
+                self.batch_size_hist.get(batch_size, 0) + 1
+            )
+            self.latencies_ms.extend(latencies_ms)
+            if len(self.latencies_ms) > 10_000:
+                self.latencies_ms = self.latencies_ms[-5_000:]
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            lat = np.asarray(self.latencies_ms) if self.latencies_ms else None
+            return {
+                "requests": self.requests,
+                "batches": self.batches,
+                "batch_size_hist": dict(sorted(self.batch_size_hist.items())),
+                "mean_batch_size": (
+                    round(self.requests / self.batches, 2) if self.batches else 0
+                ),
+                "latency_ms": None if lat is None else {
+                    "p50": round(float(np.percentile(lat, 50)), 2),
+                    "p95": round(float(np.percentile(lat, 95)), 2),
+                    "max": round(float(lat.max()), 2),
+                },
+            }
+
+
+class DynamicBatcher:
+    """Coalesce single-image requests into fixed-shape device batches.
+
+    Args:
+      batch_fn: ``(x [B,S,S,3], K [B,3,3]) -> device_out`` — typically a
+        jitted ``model.forward`` wrapper. Called with FULL batches only.
+      extract_fn: ``(device_out, n_valid) -> list`` of per-request results
+        (host-side; runs pipelined against the next batch's device step).
+      max_batch: the compiled batch capacity B.
+      max_delay_ms: how long the worker waits for more requests after the
+        first one arrives (the latency/throughput knob; 0 = never wait).
+    """
+
+    def __init__(
+        self,
+        batch_fn: Callable,
+        extract_fn: Callable,
+        max_batch: int = 8,
+        max_delay_ms: float = 5.0,
+    ):
+        self.batch_fn = batch_fn
+        self.extract_fn = extract_fn
+        self.max_batch = int(max_batch)
+        self.max_delay_ms = float(max_delay_ms)
+        self.stats = BatcherStats()
+        self._q: "queue.Queue[_Request]" = queue.Queue()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    # ------------------------------------------------------------- frontend
+    def submit(self, x: np.ndarray, K: np.ndarray, timeout: float = 60.0):
+        """Block until this request's result is ready; raises on worker error."""
+        req = _Request(np.asarray(x), np.asarray(K))
+        self._q.put(req)
+        if not req.done.wait(timeout):
+            raise TimeoutError("inference request timed out")
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    def close(self):
+        self._stop.set()
+        self._worker.join(timeout=5)
+
+    # --------------------------------------------------------------- worker
+    def _collect(self) -> List[_Request]:
+        """Block for the first request, then coalesce up to max_batch for at
+        most max_delay_ms."""
+        try:
+            first = self._q.get(timeout=0.1)
+        except queue.Empty:
+            return []
+        reqs = [first]
+        deadline = time.perf_counter() + self.max_delay_ms / 1e3
+        while len(reqs) < self.max_batch:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                reqs.append(self._q.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return reqs
+
+    def _dispatch(self, reqs: List[_Request]):
+        """Pad to capacity and launch the device program (async)."""
+        B = self.max_batch
+        x = np.zeros((B,) + reqs[0].x.shape, np.float32)
+        K = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
+        for i, r in enumerate(reqs):
+            x[i] = r.x
+            K[i] = r.K
+        return self.batch_fn(x, K)  # jax dispatch is async — returns early
+
+    def _resolve(self, reqs: List[_Request], device_out):
+        """Host-side extraction + future completion for a dispatched batch."""
+        try:
+            results = self.extract_fn(device_out, len(reqs))
+            now = time.perf_counter()
+            lats = []
+            for r, res in zip(reqs, results):
+                r.result = res
+                lats.append((now - r.t_enqueue) * 1e3)
+                r.done.set()
+            self.stats.record(len(reqs), lats)
+        except BaseException as e:  # propagate to the waiting frontends
+            for r in reqs:
+                r.error = e
+                r.done.set()
+
+    def _run(self):
+        pending: Optional[tuple] = None  # (reqs, device_out) in flight
+        while not self._stop.is_set():
+            reqs = self._collect()
+            if reqs:
+                try:
+                    out = self._dispatch(reqs)
+                except BaseException as e:
+                    for r in reqs:
+                        r.error = e
+                        r.done.set()
+                    reqs = None
+                    out = None
+            else:
+                out = None
+            # resolve the PREVIOUS batch while this one computes on-device
+            if pending is not None:
+                self._resolve(*pending)
+                pending = None
+            if reqs:
+                pending = (reqs, out)
+            elif out is None and pending is None and self._q.empty():
+                continue
+        if pending is not None:
+            self._resolve(*pending)

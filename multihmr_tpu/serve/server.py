@@ -1,0 +1,169 @@
+"""Batching HTTP inference server (production serving surface).
+
+Stdlib-only (ThreadingHTTPServer) so it runs in every environment; each
+request handler thread blocks on its own future while the
+:class:`~multihmr_tpu.serve.batcher.DynamicBatcher` worker coalesces
+concurrent requests into full fixed-shape device batches.
+
+Endpoints:
+  POST /infer          image bytes → JSON persons (scores, loc, transl,
+                       transl_pelvis, j2d-count); ``?render=1`` → PNG overlay
+  GET  /healthz        liveness
+  GET  /stats          batcher stats (batch-size histogram, p50/p95 latency)
+
+The reference has no serving stack beyond the per-image gradio demo
+(app.py); this is the TPU-native equivalent of a production model server.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+def build_batched_infer(model, params, max_batch: int = 8,
+                        det_thresh: float = 0.3, nms_kernel_size: int = 3,
+                        max_delay_ms: float = 5.0):
+    """(batcher, preprocess) for ``model`` at a fixed batch capacity."""
+    import jax
+    import jax.numpy as jnp
+
+    from multihmr_tpu.serve.batcher import DynamicBatcher
+
+    fwd = jax.jit(
+        lambda p, x, K: model.forward(
+            p, x, K, det_thresh=det_thresh, nms_kernel_size=nms_kernel_size
+        )
+    )
+
+    def batch_fn(x, K):
+        return fwd(params, jnp.asarray(x), jnp.asarray(K))
+
+    def extract_fn(out, n_valid):
+        persons = model.extract_persons(out)  # host sync happens here
+        return persons[:n_valid]
+
+    S = model.cfg.img_size
+
+    def preprocess(img_rgb: np.ndarray, fov: float = 60.0):
+        from PIL import Image, ImageOps
+
+        from multihmr_tpu.io.preprocessing import (
+            get_camera_parameters,
+            normalize_nhwc,
+        )
+
+        pil = Image.fromarray(img_rgb).convert("RGB")
+        resized = ImageOps.pad(ImageOps.contain(pil, (S, S)), size=(S, S))
+        x = normalize_nhwc(np.asarray(resized))
+        K = np.asarray(get_camera_parameters(S, fov=fov))[0]
+        return x, K, pil
+
+    batcher = DynamicBatcher(
+        batch_fn, extract_fn, max_batch=max_batch, max_delay_ms=max_delay_ms
+    )
+    return batcher, preprocess
+
+
+def _persons_json(persons) -> bytes:
+    out = []
+    for h in persons:
+        out.append({
+            "score": float(np.asarray(h["scores"])),
+            "loc": np.asarray(h["loc"]).tolist(),
+            "transl": np.asarray(h["transl"]).tolist(),
+            "transl_pelvis": np.asarray(h["transl_pelvis"]).reshape(-1).tolist(),
+            "n_j2d": int(np.asarray(h["j2d"]).shape[0]),
+        })
+    return json.dumps({"persons": out, "count": len(out)}).encode()
+
+
+def make_server(model, params, port: int = 8000, max_batch: int = 8,
+                det_thresh: float = 0.3, nms_kernel_size: int = 3,
+                max_delay_ms: float = 5.0):
+    """Build (ThreadingHTTPServer, batcher). Caller runs serve_forever()."""
+    from PIL import Image
+
+    from multihmr_tpu.render import overlay_human_meshes
+
+    batcher, preprocess = build_batched_infer(
+        model, params, max_batch=max_batch, det_thresh=det_thresh,
+        nms_kernel_size=nms_kernel_size, max_delay_ms=max_delay_ms,
+    )
+    faces = np.asarray(model.body_model.faces)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, code, ctype, body, extra=()):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            for k, v in extra:
+                self.send_header(k, v)
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, "application/json", b'{"status":"ok"}')
+            elif self.path == "/stats":
+                self._send(
+                    200, "application/json",
+                    json.dumps(batcher.stats.snapshot()).encode(),
+                )
+            else:
+                self._send(404, "text/plain", b"not found")
+
+        def do_POST(self):
+            if not self.path.startswith("/infer"):
+                self._send(404, "text/plain", b"not found")
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                img = np.asarray(
+                    Image.open(io.BytesIO(self.rfile.read(n))).convert("RGB")
+                )
+                x, K, pil = preprocess(img)
+                persons = batcher.submit(x, K)
+                if "render=1" in self.path:
+                    from multihmr_tpu.io.preprocessing import (
+                        rescale_K_to_original,
+                    )
+
+                    S = model.cfg.img_size
+                    K_full = rescale_K_to_original(
+                        K[None], pil.size[0], pil.size[1], S
+                    )
+                    overlay, _ = overlay_human_meshes(
+                        persons, faces, K_full, pil
+                    )
+                    buf = io.BytesIO()
+                    Image.fromarray(overlay).save(buf, format="PNG")
+                    self._send(
+                        200, "image/png", buf.getvalue(),
+                        extra=[("X-Person-Count", str(len(persons)))],
+                    )
+                else:
+                    self._send(200, "application/json", _persons_json(persons))
+            except BrokenPipeError:  # pragma: no cover
+                pass
+            except Exception as e:
+                self._send(
+                    500, "application/json",
+                    json.dumps({"error": f"{type(e).__name__}: {e}"}).encode(),
+                )
+
+    srv = ThreadingHTTPServer(("0.0.0.0", port), Handler)
+    srv.batcher = batcher  # for tests / shutdown
+    return srv, batcher
+
+
+def serve_forever_in_thread(srv) -> threading.Thread:
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return t
