@@ -16,6 +16,7 @@ prints (reference demo.py:333-338, train.py:190-234). TPU-native equivalents:
 from __future__ import annotations
 
 import contextlib
+import os
 import time
 from typing import Callable, Dict, List
 
@@ -62,6 +63,50 @@ def profile_trace(logdir: str = "/tmp/jax_trace"):
         yield logdir
     finally:
         jax.profiler.stop_trace()
+
+
+def device_op_table(logdir: str, top: int = 25, runs: int = 1):
+    """Parse the newest jax.profiler trace under ``logdir`` into a per-op
+    device-time table: list of (name, total_ms_per_run, count_per_run),
+    sorted by time. The workhorse behind ``tools/profile_model.py --ops`` —
+    the same analysis that located the round-2 wins (layout-transform
+    fusions, per-call fp32→bf16 weight converts, erf-GELU cost).
+
+    ``runs``: how many profiled executions the trace contains (totals are
+    divided by it). Device events are those whose trace process is a TPU;
+    on CPU backends (tests) all complete-events are counted instead.
+    """
+    import glob
+    import gzip
+    import json
+    from collections import Counter
+
+    paths = sorted(glob.glob(os.path.join(
+        logdir, "plugins", "profile", "*", "*.trace.json.gz")))
+    if not paths:
+        raise FileNotFoundError(f"no trace.json.gz under {logdir}")
+    with gzip.open(paths[-1]) as f:
+        trace = json.load(f)
+    events = trace.get("traceEvents", [])
+    pids = {
+        e["pid"]: e["args"].get("name", "")
+        for e in events
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+    }
+    device_pids = {p for p, n in pids.items() if "TPU" in n or "tpu" in n}
+    durs: Counter = Counter()
+    counts: Counter = Counter()
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        if device_pids and e.get("pid") not in device_pids:
+            continue
+        durs[e["name"]] += e.get("dur", 0)
+        counts[e["name"]] += 1
+    return [
+        (name, d / runs / 1e3, counts[name] // max(runs, 1))
+        for name, d in durs.most_common(top)
+    ]
 
 
 def latency_stats(

@@ -152,3 +152,24 @@ def test_http_server_end_to_end():
     finally:
         srv.shutdown()
         batcher.close()
+
+
+def test_device_op_table_parses_trace(tmp_path):
+    """profiling.device_op_table parses a jax.profiler trace (CPU backend:
+    all complete-events counted) into a sorted (name, ms, count) table."""
+    from multihmr_tpu.utils.profiling import device_op_table, profile_trace
+
+    @jax.jit
+    def f(x):
+        return jnp.sum(x * 2.0 + 1.0)
+
+    x = jnp.ones((256, 256))
+    float(f(x))
+    logdir = str(tmp_path / "tr")
+    with profile_trace(logdir):
+        float(f(x))
+    table = device_op_table(logdir, top=10, runs=1)
+    assert table, "empty op table"
+    times = [ms for _, ms, _ in table]
+    assert times == sorted(times, reverse=True)
+    assert all(cnt >= 1 for _, _, cnt in table)

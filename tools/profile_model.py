@@ -5,10 +5,16 @@ Usage:
       [--trace /tmp/jx]  [--stages]
 
 Prints slope-based end-to-end latency; with --trace writes a TensorBoard/
-Perfetto trace; with --stages also times the ViT alone.
+Perfetto trace; with --stages also times the ViT alone; with --ops N
+captures a trace and prints the top-N ops by device time (the analysis
+behind the round-2 perf work — see docs/DESIGN.md).
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -18,6 +24,10 @@ def main():
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--trace", default=None)
     p.add_argument("--stages", action="store_true")
+    p.add_argument(
+        "--ops", type=int, default=0, metavar="N",
+        help="capture a trace and print the top-N ops by device time",
+    )
     args = p.parse_args()
 
     import jax
@@ -58,12 +68,21 @@ def main():
         )
         print(f"  vit: {rv['p50_ms']:.2f} ms  (rest: {r['p50_ms']-rv['p50_ms']:.2f} ms)")
 
-    if args.trace:
+    if args.trace or args.ops:
+        logdir = args.trace or "/tmp/multihmr_trace"
         f = jax.jit(fwd)
         jax.block_until_ready(f(params, x))
-        with profile_trace(args.trace):
-            jax.block_until_ready(f(params, x))
-        print(f"trace written to {args.trace}")
+        runs = 3
+        with profile_trace(logdir):
+            for _ in range(runs):
+                jax.block_until_ready(f(params, x))
+        print(f"trace written to {logdir}")
+        if args.ops:
+            from multihmr_tpu.utils.profiling import device_op_table
+
+            print(f"{'ms/run':>9}  {'count':>5}  op")
+            for name, ms, cnt in device_op_table(logdir, top=args.ops, runs=runs):
+                print(f"{ms:9.3f}  {cnt:5d}  {name[:80]}")
 
 
 if __name__ == "__main__":
