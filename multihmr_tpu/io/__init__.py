@@ -5,3 +5,7 @@ from multihmr_tpu.io.checkpoint import (  # noqa: F401
     load_checkpoint,
     prune_checkpoints,
 )
+from multihmr_tpu.io.export import (  # noqa: F401
+    export_model,
+    load_exported,
+)

@@ -64,6 +64,11 @@ def _fwd_kernel(
         is reduced per-sub then combined, giving the VLIW scheduler
         independent MXU(QK)/VPU(softmax)/MXU(PV) chains to overlap (swept:
         nsub≈bkv/544 is ~15% faster than monolithic).
+      * the softmax denominator ``l = Σp`` comes out of the PV matmul FOR
+        FREE: v is augmented with a lane of ones, so the MXU — whose 128
+        output sublanes the D=64 PV matmul half-fills anyway — emits
+        ``[pv; l]`` in one pass. The separate VPU sum-reduction (and its
+        bf16→fp32 recast) over every score element disappears.
       * when ``kv_steps == 1`` (whole kv fits one step, the common ViT case)
         the online-correction state and its scratch RMW vanish entirely —
         the step max is already global.
@@ -94,46 +99,50 @@ def _fwd_kernel(
     for st in sts[1:]:
         m_step = jnp.maximum(m_step, jnp.max(st, axis=0))
 
+    D = q.shape[1]
+
     def _accumulate(m_cur):
+        # acc rows [0, D) = p·v, row D = Σp (the ones-lane trick — see
+        # kernel docstring); rows (D, D+8) are duplicate Σp, tile padding.
         acc = None
-        l = None
+        ones = jnp.ones((bsub, 8), v_ref.dtype)
         for t, st in enumerate(sts):
             p = jnp.exp2(st - m_cur[None, :]).astype(v_ref.dtype)
             v = v_ref[0, t * bsub:(t + 1) * bsub]
+            vaug = jnp.concatenate([v, ones], axis=1)  # [bsub, D+8]
             pv = jax.lax.dot_general(
-                v, p, (((0,), (0,)), ((), ())),
+                vaug, p, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [D, bq]
-            ls = jnp.sum(p.astype(jnp.float32), axis=0)  # [bq]
+            )  # [D+8, bq]
             acc = pv if acc is None else acc + pv
-            l = ls if l is None else l + ls
-        return acc, l
+        return acc
 
     if kv_steps == 1:
-        acc, l = _accumulate(m_step)
-        o_ref[0] = (acc / l[None, :]).astype(o_ref.dtype)
+        acc = _accumulate(m_step)
+        l = acc[D]
+        o_ref[0] = (acc[:D] / l[None, :]).astype(o_ref.dtype)
         lse_ref[0, 0] = (m_step + jnp.log2(l)) * _LN2
     else:
-        acc_ref, m_ref, l_ref = scratch
+        acc_ref, m_ref = scratch
 
         @pl.when(kv_i == 0)
         def _init():
             m_ref[:] = jnp.full_like(m_ref, _NEG)
-            l_ref[:] = jnp.zeros_like(l_ref)
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
         m_prev = m_ref[0]
         m_cur = jnp.maximum(m_prev, m_step)
         corr = jnp.exp2(m_prev - m_cur)
-        acc, l = _accumulate(m_cur)
+        acc = _accumulate(m_cur)
         m_ref[0] = m_cur
-        l_ref[0] = l_ref[0] * corr + l
+        # the correction rescales the Σp row right along with the pv rows
         acc_ref[:] = acc_ref[:] * corr[None, :] + acc
 
         @pl.when(kv_i == kv_steps - 1)
         def _finalize():
-            o_ref[0] = (acc_ref[:] / l_ref[0][None, :]).astype(o_ref.dtype)
-            lse_ref[0, 0] = (m_ref[0] + jnp.log2(l_ref[0])) * _LN2
+            l = acc_ref[D]
+            o_ref[0] = (acc_ref[:D] / l[None, :]).astype(o_ref.dtype)
+            lse_ref[0, 0] = (m_ref[0] + jnp.log2(l)) * _LN2
 
 
 def _choose_blocks(N, block_q, block_kv, pad_to):
@@ -186,6 +195,9 @@ def _choose_fwd_blocks(N, block_q=None, block_kv=None, pad_to=None,
             bkv = b
     nsub = 1
     best = abs(bkv - _BSUB_TARGET)
+    # n ≤ 16: bkv = 128·17 (the 1288² shape) would need n = 17 to split,
+    # but measured identical monolithic (multi-kv-step grids already
+    # overlap via cross-step DMA pipelining) — not worth the special case.
     for n in range(2, 17):
         if bkv % (sub_align * n) == 0 and abs(bkv // n - _BSUB_TARGET) < best:
             nsub, best = n, abs(bkv // n - _BSUB_TARGET)
@@ -252,8 +264,7 @@ def _flash_fwd_impl(
             jax.ShapeDtypeStruct((B * H, 1, Np), jnp.float32),
         ],
         scratch_shapes=[] if kv_steps == 1 else [
-            pltpu.VMEM((D, bq), jnp.float32),
-            pltpu.VMEM((1, bq), jnp.float32),
+            pltpu.VMEM((D + 8, bq), jnp.float32),  # [pv; Σp] accumulator
             pltpu.VMEM((1, bq), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -334,46 +345,49 @@ def _fwd_kernel_t(
     for st in sts[1:]:
         m_step = jnp.maximum(m_step, jnp.max(st, axis=0))
 
+    Dh = q.shape[0]
+
     def _accumulate(m_cur):
+        # acc rows [0, Dh) = p·v, row Dh = Σp from the ones-sublane trick
+        # (see _fwd_kernel docstring) — rows (Dh, Dh+8) duplicate Σp.
         acc = None
-        l = None
+        ones = jnp.ones((8, bsub), v_ref.dtype)
         for t, st in enumerate(sts):
             p = jnp.exp2(st - m_cur[None, :]).astype(v_ref.dtype)
             v = v_ref[0][:, t * bsub:(t + 1) * bsub]  # [Dh, bsub]
+            vaug = jnp.concatenate([v, ones], axis=0)  # [Dh+8, bsub]
             pv = jax.lax.dot_general(
-                v, p, (((1,), (0,)), ((), ())),
+                vaug, p, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [Dh, bq]
-            ls = jnp.sum(p.astype(jnp.float32), axis=0)
+            )  # [Dh+8, bq]
             acc = pv if acc is None else acc + pv
-            l = ls if l is None else l + ls
-        return acc, l
+        return acc
 
     if kv_steps == 1:
-        acc, l = _accumulate(m_step)
-        o_ref[0] = (acc / l[None, :]).astype(o_ref.dtype)
+        acc = _accumulate(m_step)
+        l = acc[Dh]
+        o_ref[0] = (acc[:Dh] / l[None, :]).astype(o_ref.dtype)
         lse_ref[0, 0] = (m_step + jnp.log2(l)) * _LN2
     else:
-        acc_ref, m_ref, l_ref = scratch
+        acc_ref, m_ref = scratch
 
         @pl.when(kv_i == 0)
         def _init():
             m_ref[:] = jnp.full_like(m_ref, _NEG)
-            l_ref[:] = jnp.zeros_like(l_ref)
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
         m_prev = m_ref[0]
         m_cur = jnp.maximum(m_prev, m_step)
         corr = jnp.exp2(m_prev - m_cur)
-        acc, l = _accumulate(m_cur)
+        acc = _accumulate(m_cur)
         m_ref[0] = m_cur
-        l_ref[0] = l_ref[0] * corr + l
         acc_ref[:] = acc_ref[:] * corr[None, :] + acc
 
         @pl.when(kv_i == kv_steps - 1)
         def _finalize():
-            o_ref[0] = (acc_ref[:] / l_ref[0][None, :]).astype(o_ref.dtype)
-            lse_ref[0, 0] = (m_ref[0] + jnp.log2(l_ref[0])) * _LN2
+            l = acc_ref[Dh]
+            o_ref[0] = (acc_ref[:Dh] / l[None, :]).astype(o_ref.dtype)
+            lse_ref[0, 0] = (m_ref[0] + jnp.log2(l)) * _LN2
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
@@ -413,8 +427,7 @@ def _flash_fwd_impl_t(q, k, v, scale=None, interpret=False):
             jax.ShapeDtypeStruct((B * H, 1, Np), jnp.float32),
         ],
         scratch_shapes=[] if kv_steps == 1 else [
-            pltpu.VMEM((D, bq), jnp.float32),
-            pltpu.VMEM((1, bq), jnp.float32),
+            pltpu.VMEM((D + 8, bq), jnp.float32),  # [pv; Σp] accumulator
             pltpu.VMEM((1, bq), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -518,7 +531,10 @@ def _bwd_dq_kernel_t(
     q = q_ref[0]    # [Dh, bq] — pre-scaled by scale·log2(e)
     k = k_ref[0]    # [Dh, bkv]
     v = v_ref[0]
-    do = do_ref[0].astype(jnp.float32)  # [Dh, bq]
+    do = do_ref[0]  # [Dh, bq] — bf16 stays bf16: the operands are already
+    # bf16-quantized, so a bf16×bf16 MXU matmul with fp32 accumulation is
+    # bit-identical to upcasting (products of two 8-bit mantissas are exact
+    # in fp32) and avoids the multi-pass fp32 MXU decomposition.
     lse = lse_ref[0, 0]  # [bq], log2 units
     dd = dd_ref[0, 0]    # [bq]
 
@@ -527,17 +543,18 @@ def _bwd_dq_kernel_t(
     )  # [bkv, bq]
     p = jnp.exp2(s - lse[None, :])
     dp = jax.lax.dot_general(
-        v.astype(jnp.float32), do, (((0,), (0,)), ((), ())),
+        v, do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [bkv, bq]
-    ds = (p * (dp - dd[None, :]) * scale).astype(k.dtype)
+    ds = (p * (dp - dd[None, :])).astype(k.dtype)
     acc_ref[:] += jax.lax.dot_general(
         k, ds, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )  # [Dh, bq]
 
     @pl.when(kv_i == kv_steps - 1)
     def _finalize():
-        dq_ref[0] = acc_ref[:].astype(dq_ref.dtype)
+        # ·scale folded out of the per-tile ds into this one [Dh, bq] pass
+        dq_ref[0] = (acc_ref[:] * scale).astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel_t(
@@ -562,7 +579,7 @@ def _bwd_dkv_kernel_t(
     q = q_ref[0]    # [Dh, bq] — pre-scaled
     k = k_ref[0]    # [Dh, bkv]
     v = v_ref[0]
-    do = do_ref[0].astype(jnp.float32)
+    do = do_ref[0]  # bf16 stays bf16 — see _bwd_dq_kernel_t
     lse = lse_ref[0, 0]
     dd = dd_ref[0, 0]
 
@@ -575,21 +592,22 @@ def _bwd_dkv_kernel_t(
         row = jax.lax.broadcasted_iota(jnp.int32, p.shape, 0) + kv_j * bkv
         p = jnp.where(row < kv_len, p, 0.0)
     dv_acc[:] += jax.lax.dot_general(
-        do_ref[0], p.astype(do_ref.dtype), (((1,), (1,)), ((), ())),
+        do, p.astype(do_ref.dtype), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [Dh, bkv]
     dp = jax.lax.dot_general(
-        v.astype(jnp.float32), do, (((0,), (0,)), ((), ())),
+        v, do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [bkv, bq]
-    ds = (p * (dp - dd[None, :]) * (1.0 / _LOG2E)).astype(q.dtype)
+    ds = (p * (dp - dd[None, :])).astype(q.dtype)
     dk_acc[:] += jax.lax.dot_general(
         q, ds, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [Dh, bkv]
 
     @pl.when(q_i == q_steps - 1)
     def _finalize():
-        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        # ·1/log2(e) folded out of the per-tile ds into this one pass
+        dk_ref[0] = (dk_acc[:] * (1.0 / _LOG2E)).astype(dk_ref.dtype)
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
