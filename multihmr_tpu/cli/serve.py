@@ -2,12 +2,18 @@
 
     python -m multihmr_tpu.cli.serve --model_name multiHMR_672_B \
         [--ckpt ...] [--port 8000] [--max_batch 8] [--max_delay_ms 5]
+    python -m multihmr_tpu.cli.serve --artifact exported/672B [--port 8000]
 
 Unlike ``cli.app`` (the interactive single-image demo mirroring reference
 app.py), this serves concurrent clients through a dynamic batcher that
 coalesces requests into one fixed-shape device program — on a v5e, 672_B
 runs batch 8 at the same per-image latency as batch 1, so a loaded server
-gets ~8× the demo's throughput (BENCH_SWEEP.json: 149 img/s).
+gets ~8× the demo's throughput (BENCH_SWEEP.json: 161 img/s).
+
+``--artifact``: serve a ``tools/export_model.py`` AOT artifact — weights,
+batch shape, and detection params come from the artifact and the server
+starts without re-tracing the model (the artifact must have been exported
+on/for this platform).
 """
 
 from __future__ import annotations
@@ -19,6 +25,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model_name", type=str, default="multiHMR_672_B")
     p.add_argument("--ckpt", type=str, default=None)
+    p.add_argument("--artifact", type=str, default=None,
+                   help="serve an exported AOT artifact directory")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--max_batch", type=int, default=8)
     p.add_argument("--max_delay_ms", type=float, default=5.0)
@@ -32,16 +40,29 @@ def main():
     from multihmr_tpu.serve import make_server
     from multihmr_tpu.utils.precision import cast_backbone_bf16
 
-    model, params = build_model(args.model_name, checkpoint=args.ckpt)
-    if params is None:
-        print("WARNING: no checkpoint given — running with random weights")
-        params = model.init_params(jax.random.PRNGKey(0))
-    params = cast_backbone_bf16(params)
+    forward_fn = None
+    if args.artifact is not None:
+        from multihmr_tpu.io.export import as_model_forward, load_exported
+
+        loaded = load_exported(args.artifact)
+        args.model_name = loaded.meta.get("name", args.model_name)
+        args.max_batch = loaded.batch_size
+        forward_fn = as_model_forward(loaded)
+        # model object still provides cfg/extract_persons/faces (host-side
+        # only — its flax net is never traced on this path)
+        model, params = build_model(args.model_name)
+        params = loaded._params
+    else:
+        model, params = build_model(args.model_name, checkpoint=args.ckpt)
+        if params is None:
+            print("WARNING: no checkpoint given — running with random weights")
+            params = model.init_params(jax.random.PRNGKey(0))
+        params = cast_backbone_bf16(params)
 
     srv, batcher = make_server(
         model, params, port=args.port, max_batch=args.max_batch,
         det_thresh=args.det_thresh, nms_kernel_size=args.nms_kernel_size,
-        max_delay_ms=args.max_delay_ms,
+        max_delay_ms=args.max_delay_ms, forward_fn=forward_fn,
     )
     print(
         f"serving {args.model_name} on http://0.0.0.0:{args.port} "

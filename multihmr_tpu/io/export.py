@@ -152,3 +152,25 @@ def load_exported(model_dir: str) -> ExportedModel:
     with open(os.path.join(model_dir, _META_FILE)) as f:
         meta = json.load(f)
     return ExportedModel(exported, params, meta)
+
+
+def as_model_forward(loaded: ExportedModel):
+    """Adapt an :class:`ExportedModel` to the ``model.forward``-shaped
+    ``(params, x, K) -> out`` contract (``det_*`` arrays re-bundled into a
+    :class:`~multihmr_tpu.ops.detection.Detections`) so the artifact can
+    drive the same serving/extraction stack as a live model — e.g.
+    ``multihmr_tpu.serve.make_server(..., forward_fn=as_model_forward(m))``
+    starts serving with zero re-tracing/lowering."""
+    from multihmr_tpu.ops.detection import Detections
+
+    def fwd(params, x, K):  # params baked inside the artifact; ignored
+        out = loaded(x, K)
+        out["det"] = Detections(
+            out.pop("det_rows"),
+            out.pop("det_cols"),
+            out.pop("det_scores"),
+            out.pop("det_valid"),
+        )
+        return out
+
+    return fwd

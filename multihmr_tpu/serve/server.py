@@ -27,14 +27,20 @@ import numpy as np
 
 def build_batched_infer(model, params, max_batch: int = 8,
                         det_thresh: float = 0.3, nms_kernel_size: int = 3,
-                        max_delay_ms: float = 5.0):
-    """(batcher, preprocess) for ``model`` at a fixed batch capacity."""
+                        max_delay_ms: float = 5.0, forward_fn=None):
+    """(batcher, preprocess) for ``model`` at a fixed batch capacity.
+
+    ``forward_fn``: optional ``(params, x, K) -> out`` override replacing the
+    live ``model.forward`` jit — e.g. an AOT artifact adapted through
+    :func:`multihmr_tpu.io.export.as_model_forward`, which starts serving
+    without re-tracing/lowering (det_thresh/nms are baked into the artifact
+    and the passed values are ignored)."""
     import jax
     import jax.numpy as jnp
 
     from multihmr_tpu.serve.batcher import DynamicBatcher
 
-    fwd = jax.jit(
+    fwd = forward_fn if forward_fn is not None else jax.jit(
         lambda p, x, K: model.forward(
             p, x, K, det_thresh=det_thresh, nms_kernel_size=nms_kernel_size
         )
@@ -84,8 +90,9 @@ def _persons_json(persons) -> bytes:
 
 def make_server(model, params, port: int = 8000, max_batch: int = 8,
                 det_thresh: float = 0.3, nms_kernel_size: int = 3,
-                max_delay_ms: float = 5.0):
-    """Build (ThreadingHTTPServer, batcher). Caller runs serve_forever()."""
+                max_delay_ms: float = 5.0, forward_fn=None):
+    """Build (ThreadingHTTPServer, batcher). Caller runs serve_forever().
+    ``forward_fn``: see :func:`build_batched_infer`."""
     from PIL import Image
 
     from multihmr_tpu.render import overlay_human_meshes
@@ -93,6 +100,7 @@ def make_server(model, params, port: int = 8000, max_batch: int = 8,
     batcher, preprocess = build_batched_infer(
         model, params, max_batch=max_batch, det_thresh=det_thresh,
         nms_kernel_size=nms_kernel_size, max_delay_ms=max_delay_ms,
+        forward_fn=forward_fn,
     )
     faces = np.asarray(model.body_model.faces)
 

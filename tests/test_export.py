@@ -68,6 +68,44 @@ def test_export_roundtrip(tmp_path):
     assert got["det_valid"].shape == (2, 4)
 
 
+def test_artifact_drives_serving_stack(tmp_path):
+    """An exported artifact plugged into the batching server via
+    ``as_model_forward`` produces the same persons as the live model."""
+    from multihmr_tpu.io.export import as_model_forward
+    from multihmr_tpu.serve.server import build_batched_infer
+
+    model, params = _tiny_model()
+    out_dir = export_model(
+        model, params, str(tmp_path / "a"), batch_size=2, det_thresh=0.1,
+    )
+    loaded = load_exported(out_dir)
+
+    batcher, _ = build_batched_infer(
+        model, params, max_batch=2, det_thresh=0.1,
+        forward_fn=as_model_forward(loaded), max_delay_ms=50.0,
+    )
+    try:
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(56, 56, 3)).astype(np.float32)
+        K = np.asarray(
+            [[100.0, 0, 28], [0, 100.0, 28], [0, 0, 1]], np.float32
+        )
+        persons = batcher.submit(x, K)
+
+        direct = jax.jit(
+            lambda p, x, K: model.forward(p, x, K, det_thresh=0.1)
+        )(params, jnp.asarray(x)[None], jnp.asarray(K)[None])
+        want = model.extract_persons(jax.device_get(direct))[0]
+        assert len(persons) == len(want)
+        for got_h, want_h in zip(persons, want):
+            np.testing.assert_allclose(
+                np.asarray(got_h["v3d"]), np.asarray(want_h["v3d"]),
+                rtol=1e-5, atol=1e-5,
+            )
+    finally:
+        batcher.close()
+
+
 def test_export_is_self_contained(tmp_path):
     """The artifact directory carries everything: model bytes, weights,
     meta — and restores params as plain nested dicts (no flax modules)."""
