@@ -32,6 +32,9 @@ def main():
     p.add_argument("--max_delay_ms", type=float, default=5.0)
     p.add_argument("--det_thresh", type=float, default=0.3)
     p.add_argument("--nms_kernel_size", type=int, default=3)
+    p.add_argument("--json_only", action="store_true",
+                   help="skip mesh-tensor readback (disables ?render=1); "
+                        "cuts per-request device->host tail latency")
     args = p.parse_args()
 
     import jax
@@ -63,6 +66,7 @@ def main():
         model, params, port=args.port, max_batch=args.max_batch,
         det_thresh=args.det_thresh, nms_kernel_size=args.nms_kernel_size,
         max_delay_ms=args.max_delay_ms, forward_fn=forward_fn,
+        json_only=args.json_only,
     )
     print(
         f"serving {args.model_name} on http://0.0.0.0:{args.port} "

@@ -237,9 +237,15 @@ class MultiHMR:
         out.update({k: unflat(v) for k, v in smpl_out.items()})
         return out
 
-    def extract_persons(self, out: dict) -> list:
+    def extract_persons(self, out: dict, fields: Optional[list] = None) -> list:
         """Host-side: padded ``[B, K]`` outputs → per-image person dict lists
-        with the reference's keys (reference model.py:328-347)."""
+        with the reference's keys (reference model.py:328-347).
+
+        ``fields``: restrict which keys are pulled to the host. Device→host
+        readback is the serving tail latency (the mesh tensors are ~1 MB per
+        person slot) — a JSON-only server that selects
+        ``["scores", "loc", "transl", "transl_pelvis", "j2d"]`` skips the
+        v3d/j3d readback entirely. Default: all keys."""
         valid = np.asarray(out["det"].valid)
         B = valid.shape[0]
         full = valid.sum(-1) == valid.shape[1]
@@ -259,6 +265,8 @@ class MultiHMR:
             ("expression", "expression"), ("shape", "shape"),
             ("v3d", "v3d"), ("j3d", "j3d"), ("j2d", "j2d"),
         ]
+        if fields is not None:
+            keys = [(name, src) for name, src in keys if name in fields]
         host = {name: np.asarray(out[src]) for name, src in keys}
         for b in range(B):
             persons = []

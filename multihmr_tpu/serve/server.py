@@ -27,14 +27,19 @@ import numpy as np
 
 def build_batched_infer(model, params, max_batch: int = 8,
                         det_thresh: float = 0.3, nms_kernel_size: int = 3,
-                        max_delay_ms: float = 5.0, forward_fn=None):
+                        max_delay_ms: float = 5.0, forward_fn=None,
+                        fields=None):
     """(batcher, preprocess) for ``model`` at a fixed batch capacity.
 
     ``forward_fn``: optional ``(params, x, K) -> out`` override replacing the
     live ``model.forward`` jit — e.g. an AOT artifact adapted through
     :func:`multihmr_tpu.io.export.as_model_forward`, which starts serving
     without re-tracing/lowering (det_thresh/nms are baked into the artifact
-    and the passed values are ignored)."""
+    and the passed values are ignored).
+
+    ``fields``: restrict device→host readback per request (see
+    ``MultiHMR.extract_persons``) — the readback of unused mesh tensors is
+    the dominant per-request tail for JSON-only clients."""
     import jax
     import jax.numpy as jnp
 
@@ -50,7 +55,8 @@ def build_batched_infer(model, params, max_batch: int = 8,
         return fwd(params, jnp.asarray(x), jnp.asarray(K))
 
     def extract_fn(out, n_valid):
-        persons = model.extract_persons(out)  # host sync happens here
+        # host sync happens here
+        persons = model.extract_persons(out, fields=fields)
         return persons[:n_valid]
 
     S = model.cfg.img_size
@@ -90,17 +96,22 @@ def _persons_json(persons) -> bytes:
 
 def make_server(model, params, port: int = 8000, max_batch: int = 8,
                 det_thresh: float = 0.3, nms_kernel_size: int = 3,
-                max_delay_ms: float = 5.0, forward_fn=None):
+                max_delay_ms: float = 5.0, forward_fn=None,
+                json_only: bool = False):
     """Build (ThreadingHTTPServer, batcher). Caller runs serve_forever().
-    ``forward_fn``: see :func:`build_batched_infer`."""
+    ``forward_fn``: see :func:`build_batched_infer`. ``json_only``: skip the
+    mesh-tensor (v3d/rotvec/shape/...) device readback — /infer?render=1
+    then returns 400, and per-request latency drops to the JSON fields'
+    readback only."""
     from PIL import Image
 
     from multihmr_tpu.render import overlay_human_meshes
 
+    json_fields = ["scores", "loc", "transl", "transl_pelvis", "j2d"]
     batcher, preprocess = build_batched_infer(
         model, params, max_batch=max_batch, det_thresh=det_thresh,
         nms_kernel_size=nms_kernel_size, max_delay_ms=max_delay_ms,
-        forward_fn=forward_fn,
+        forward_fn=forward_fn, fields=json_fields if json_only else None,
     )
     faces = np.asarray(model.body_model.faces)
 
@@ -137,6 +148,10 @@ def make_server(model, params, port: int = 8000, max_batch: int = 8,
                     Image.open(io.BytesIO(self.rfile.read(n))).convert("RGB")
                 )
                 x, K, pil = preprocess(img)
+                if "render=1" in self.path and json_only:
+                    self._send(400, "application/json",
+                               b'{"error":"server started json_only"}')
+                    return
                 persons = batcher.submit(x, K)
                 if "render=1" in self.path:
                     from multihmr_tpu.io.preprocessing import (

@@ -9,6 +9,7 @@ batcher actually COALESCED concurrent requests (batch sizes > 1), and
 import io
 import json
 import threading
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -152,6 +153,64 @@ def test_http_server_end_to_end():
     finally:
         srv.shutdown()
         batcher.close()
+
+
+def test_http_server_json_only():
+    """json_only server: JSON responses equal the full server's, ?render=1
+    is rejected, and the extracted persons carry only the JSON fields."""
+    from PIL import Image
+
+    model, params = _tiny_model()
+    srv, batcher = make_server(model, params, port=0, max_batch=2,
+                               det_thresh=0.1, max_delay_ms=5.0,
+                               json_only=True)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        rng = np.random.default_rng(1)
+        img = (rng.uniform(0, 255, size=(80, 64, 3))).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="PNG")
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/infer", data=buf.getvalue(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            got = json.load(r)
+        assert "persons" in got
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/infer?render=1", data=buf.getvalue(),
+            method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=120)
+        assert e.value.code == 400
+    finally:
+        srv.shutdown()
+        batcher.close()
+
+
+def test_extract_persons_fields():
+    """fields= restricts the keys pulled host-side (and only those)."""
+    model, params = _tiny_model()
+    S = model.cfg.img_size
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, S, S, 3)), jnp.float32
+    )
+    K = jnp.asarray(
+        [[[100.0, 0, S / 2], [0, 100.0, S / 2], [0, 0, 1]]], jnp.float32
+    )
+    out = jax.jit(lambda p, x, K: model.forward(p, x, K, det_thresh=0.05))(
+        params, x, K
+    )
+    persons = model.extract_persons(out, fields=["scores", "loc"])[0]
+    full = model.extract_persons(out)[0]
+    assert len(persons) == len(full)
+    for lean, fat in zip(persons, full):
+        assert set(lean) == {"scores", "loc"}
+        np.testing.assert_array_equal(lean["loc"], fat["loc"])
 
 
 def test_device_op_table_parses_trace(tmp_path):
