@@ -118,7 +118,7 @@ def main():
     results = {"multiHMR_896_L": {"p50_ms": round(p50, 3),
                                   "vs_baseline": round(ref["multiHMR_896_L"] / p50, 2)}}
     for name in ("multiHMR_672_S", "multiHMR_672_B", "multiHMR_672_L",
-                 "multiHMR_1288_L_bedlam"):
+                 "multiHMR_1288_L_bedlam", "multiHMR_672_L_anny"):
         ms = measure_model(name)
         entry = {"p50_ms": round(ms, 3)}
         if name in ref:

@@ -45,5 +45,11 @@ def cast_backbone_bf16(params):
     inner = dict(p["params"])
     if "backbone" in inner:
         inner["backbone"] = _cast_tree(inner["backbone"])
+    elif "encoder" in inner and "backbone" in inner["encoder"]:
+        # Anny layout: the ViT lives under encoder.backbone
+        # (models/multihmr_anny.py AnnyEncoder)
+        enc = dict(inner["encoder"])
+        enc["backbone"] = _cast_tree(enc["backbone"])
+        inner["encoder"] = enc
     p["params"] = inner
     return jax.tree_util.tree_map(lambda x: x, p)  # fresh pytree

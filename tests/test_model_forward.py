@@ -160,6 +160,31 @@ def test_full_model_padding_invariance():
     )
 
 
+def test_bf16_param_cast_anny_layout():
+    """cast_backbone_bf16 also finds the ViT under the Anny layout
+    (params.encoder.backbone) and leaves the heads fp32."""
+    from multihmr_tpu.utils.precision import cast_backbone_bf16
+
+    params = {"params": {
+        "encoder": {
+            "backbone": {
+                "blocks": {"block": {
+                    "attn": {"qkv": {"kernel": jnp.ones((4, 12))}},
+                    "norm1": {"scale": jnp.ones((4,))},
+                }},
+            },
+            "mlp_det": {"kernel": jnp.ones((4, 1))},
+        },
+        "mlp_pose": {"kernel": jnp.ones((8, 8))},
+    }}
+    cast = cast_backbone_bf16(params)
+    enc = cast["params"]["encoder"]
+    assert enc["backbone"]["blocks"]["block"]["attn"]["qkv"]["kernel"].dtype == jnp.bfloat16
+    assert enc["backbone"]["blocks"]["block"]["norm1"]["scale"].dtype == jnp.float32
+    assert enc["mlp_det"]["kernel"].dtype == jnp.float32
+    assert cast["params"]["mlp_pose"]["kernel"].dtype == jnp.float32
+
+
 def test_bf16_param_cast_matches_fp32():
     """cast_backbone_bf16 (inference weight storage) must not change outputs
     beyond bf16 noise — the backbone already COMPUTES in bf16 either way."""

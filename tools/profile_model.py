@@ -38,10 +38,14 @@ def main():
     import jax.numpy as jnp
 
     from multihmr_tpu.factory import build_model
+    from multihmr_tpu.utils.precision import cast_backbone_bf16
     from multihmr_tpu.utils.profiling import latency_stats, profile_trace
 
     model, _ = build_model(args.model_name)
-    params = model.init_params(jax.random.PRNGKey(0))
+    # bf16 weight storage like bench.py/serving — otherwise the op table is
+    # polluted by per-call fp32→bf16 converts of the stacked weights (~2.7 ms
+    # at ViT-L) that no production path pays
+    params = cast_backbone_bf16(model.init_params(jax.random.PRNGKey(0)))
     jax.block_until_ready(params)
     S = model.cfg.img_size
     B = args.batch

@@ -25,6 +25,11 @@ def main():
     ap.add_argument("--model", default="multiHMR_1288_L_bedlam")
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--steps", type=int, default=2)
+    ap.add_argument(
+        "--json", action="store_true",
+        help="append the steady-state step time to BENCH_TRAIN.json "
+        "(driver-collectable training-perf artifact)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -76,15 +81,39 @@ def main():
     }
 
     t0 = time.time()
+    step_times = []
     for i in range(args.steps):
         params, opt_state, terms = step(params, opt_state, batch, 0)
         total = float(terms["total"])  # sync point
         t1 = time.time()
         note = "incl. compile" if i == 0 else "step"
         print(f"step {i}: loss={total:.4f}  ({note} {t1 - t0:.2f}s)")
+        if i > 0:
+            step_times.append(t1 - t0)
         t0 = t1
         assert np.isfinite(total), "non-finite loss"
     print("train smoke OK")
+
+    if args.json and step_times:
+        import json
+
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "BENCH_TRAIN.json",
+        )
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+        except (FileNotFoundError, ValueError):
+            doc = {"device": jax.devices()[0].device_kind, "results": {}}
+        doc["results"][f"{args.model}_batch{args.batch}"] = {
+            "s_per_step": round(float(np.median(step_times)), 3),
+            "tokens": cfg.num_patches + 1,
+            "steps_timed": len(step_times),
+        }
+        with open(path, "w") as f:
+            json.dump(doc, f, indent=1)
+        print(f"wrote {path}")
 
 
 if __name__ == "__main__":
