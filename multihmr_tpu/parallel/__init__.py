@@ -1,5 +1,6 @@
 from multihmr_tpu.parallel.sharding import (  # noqa: F401
     make_mesh,
+    opt_state_shardings,
     param_shardings,
     batch_sharding,
     replicated,

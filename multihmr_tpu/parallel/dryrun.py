@@ -3,8 +3,9 @@
 This is the driver-visible correctness artifact for the multi-chip path: it
 builds a (data, model) mesh, shards a complete train step (forward + loss +
 grads + optax update) with DP batch sharding + Megatron TP on the ViT —
-including the mesh-aware shard_map attention dispatch — and runs ONE step on
-tiny shapes, plus a ring-attention (sequence-parallel) forward.
+including the mesh-aware shard_map attention dispatch — plus ZeRO/FSDP
+sharding of the large params and Adam moments over the data axis, and runs
+ONE step on tiny shapes, plus a ring-attention (sequence-parallel) forward.
 
 Hermeticity: :func:`main` pins the CPU platform BEFORE any backend use, so
 the dryrun never initializes the TPU backend, never loads AOT cache entries,
@@ -28,7 +29,12 @@ def run(n_devices: int) -> None:
     from multihmr_tpu.config import ModelConfig, ViTConfig
     from multihmr_tpu.bodymodel import synthetic_body_model
     from multihmr_tpu.models.multihmr import MultiHMR
-    from multihmr_tpu.parallel import make_mesh, shard_params, batch_sharding
+    from multihmr_tpu.parallel import (
+        batch_sharding,
+        make_mesh,
+        opt_state_shardings,
+        param_shardings,
+    )
     from multihmr_tpu.train.trainer import make_train_step
 
     devices = jax.devices()
@@ -58,7 +64,10 @@ def run(n_devices: int) -> None:
 
     B, Kh, S = data_size, cfg.max_people, cfg.img_size
     params = model.init_params(jax.random.PRNGKey(0), batch_size=1)
-    params = shard_params(mesh, params)
+    # TP over 'model' + ZeRO/FSDP over 'data' (min_size lowered so the toy
+    # params actually shard — real configs use the default threshold)
+    psh = param_shardings(mesh, params, fsdp=True, fsdp_min_size=1024)
+    params = jax.device_put(params, psh)
 
     rng = np.random.default_rng(0)
     Kmat = np.asarray(
@@ -80,11 +89,23 @@ def run(n_devices: int) -> None:
 
     optimizer = optax.adam(5e-6)  # reference lr, train.py:514
     with mesh:
-        opt_state = jax.jit(optimizer.init)(params)
+        # explicit out_shardings: init is zeros_like (no data dependency on
+        # params) so propagation alone would leave the Adam moments
+        # unsharded and forfeit the ZeRO memory win
+        opt_state = jax.jit(
+            optimizer.init,
+            out_shardings=opt_state_shardings(mesh, optimizer, params, psh),
+        )(params)
         train_step = make_train_step(model, optimizer, donate=False)
         params, opt_state, terms = train_step(params, opt_state, batch, 0)
         total = float(terms["total"])
     assert np.isfinite(total), f"non-finite loss: {terms}"
+    mu_leaves = jax.tree_util.tree_leaves(opt_state[0].mu)
+    n_sharded = sum(
+        1 for l in mu_leaves
+        if any(s is not None for s in getattr(l.sharding, "spec", ()))
+    )
+    assert n_sharded > 0, "FSDP: no Adam moment ended up sharded"
 
     # Sequence-parallel (ring attention) forward on the same mesh.
     sp_model = MultiHMR(cfg, bm, mesh=mesh, tp_mode="ring")
@@ -98,8 +119,9 @@ def run(n_devices: int) -> None:
 
     print(
         f"dryrun_multichip OK: {n_devices} devices "
-        f"(data={data_size}, model={model_parallel}), TP train-step "
-        f"loss={total:.4f}, SP(ring) forward finite"
+        f"(data={data_size}, model={model_parallel}), TP+FSDP train-step "
+        f"loss={total:.4f} ({n_sharded} sharded moment leaves), "
+        f"SP(ring) forward finite"
     )
 
 

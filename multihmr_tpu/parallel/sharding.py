@@ -69,13 +69,38 @@ def _spec_for(path: str, leaf) -> P:
     return P()  # replicated
 
 
-def param_shardings(mesh: Mesh, params):
+def param_shardings(mesh: Mesh, params, fsdp: bool = False,
+                    fsdp_min_size: int = 1 << 16):
     """NamedSharding pytree for a MultiHMR param tree (TP on the ViT,
-    everything else replicated)."""
+    everything else replicated).
+
+    ``fsdp=True`` additionally shards every large parameter over the
+    ``data`` axis (ZeRO/FSDP-style): the largest dimension not already
+    TP-sharded and divisible by the data-axis size gets ``"data"``. Under
+    jit this is ALL the machinery fully-sharded training needs — XLA's SPMD
+    pass all-gathers weights at their use site and reduce-scatters the
+    gradients, and because the optimizer state is initialized and updated
+    under the same shardings, params + both Adam moments sit sharded at
+    rest (per-device memory drops ~data_size-fold for the ViT). Leaves
+    smaller than ``fsdp_min_size`` elements stay as the base spec — the
+    collectives would cost more than the bytes saved.
+    """
+    data_size = mesh.shape.get("data", 1)
 
     def assign(path, leaf):
         path_str = "/".join(str(getattr(p, "key", p)) for p in path)
-        return NamedSharding(mesh, _spec_for(path_str, leaf))
+        spec = _spec_for(path_str, leaf)
+        if fsdp and data_size > 1 and getattr(leaf, "size", 0) >= fsdp_min_size:
+            dims = list(spec) + [None] * (leaf.ndim - len(spec))
+            best = None
+            for d in range(leaf.ndim):
+                if dims[d] is None and leaf.shape[d] % data_size == 0:
+                    if best is None or leaf.shape[d] > leaf.shape[best]:
+                        best = d
+            if best is not None:
+                dims[best] = "data"
+                spec = P(*dims)
+        return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(assign, params)
 
@@ -95,6 +120,38 @@ def replicated(mesh: Mesh, pytree=None):
     return jax.tree_util.tree_map(lambda _: s, pytree)
 
 
-def shard_params(mesh: Mesh, params):
-    """Place a parameter pytree onto the mesh with TP/replication layout."""
-    return jax.device_put(params, param_shardings(mesh, params))
+def shard_params(mesh: Mesh, params, fsdp: bool = False):
+    """Place a parameter pytree onto the mesh with TP/replication layout
+    (plus ZeRO/FSDP data-axis sharding of large leaves when ``fsdp``)."""
+    return jax.device_put(params, param_shardings(mesh, params, fsdp=fsdp))
+
+
+def opt_state_shardings(mesh: Mesh, optimizer, params, psh):
+    """Sharding pytree for ``optimizer.init(params)`` matching ``psh`` (the
+    params' sharding tree): params-shaped subtrees (Adam mu/nu, momentum,
+    …) get the params' shardings, everything else (step counts, empty
+    states) is replicated.
+
+    Needed because ``optimizer.init`` builds its state with ``zeros_like``
+    — a constant with NO data dependency on the params, so jit's sharding
+    propagation has nothing to propagate and the state lands replicated (or
+    single-device), silently forfeiting the ZeRO memory win. Use as::
+
+        opt_state = jax.jit(
+            optimizer.init,
+            out_shardings=opt_state_shardings(mesh, optimizer, params, psh),
+        )(params)
+    """
+    ptreedef = jax.tree_util.tree_structure(params)
+    shapes = jax.eval_shape(optimizer.init, params)
+    rep = NamedSharding(mesh, P())
+
+    def is_params_shaped(node):
+        return jax.tree_util.tree_structure(node) == ptreedef
+
+    return jax.tree_util.tree_map(
+        lambda n: psh if is_params_shaped(n)
+        else jax.tree_util.tree_map(lambda _: rep, n),
+        shapes,
+        is_leaf=is_params_shaped,
+    )

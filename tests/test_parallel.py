@@ -212,3 +212,64 @@ def test_tp_train_step_matches_replicated():
     with mesh:
         tp_loss = one_step(tp_model, sp, batch)
     np.testing.assert_allclose(tp_loss, ref_loss, rtol=1e-5)
+
+    # ZeRO/FSDP: same step with large params ALSO sharded over 'data'.
+    from multihmr_tpu.parallel import param_shardings
+
+    fsdp_shardings = param_shardings(mesh, params, fsdp=True, fsdp_min_size=64)
+    fp = jax.device_put(params, fsdp_shardings)
+    with mesh:
+        fsdp_loss = one_step(tp_model, fp, batch)
+    np.testing.assert_allclose(fsdp_loss, ref_loss, rtol=1e-5)
+
+
+def test_fsdp_shardings_shard_large_params_and_opt_state():
+    """fsdp=True shards each large leaf over 'data' on a free dimension
+    (composing with TP on 'model'), leaves small leaves replicated, and the
+    Adam moments initialized under jit inherit the sharded layout — i.e.
+    params + optimizer state sit sharded at rest (the ZeRO memory win)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from multihmr_tpu.parallel import param_shardings
+
+    mesh = make_mesh(8, model_parallel=2)
+    data = mesh.shape["data"]  # 4
+    params = {
+        "backbone": {
+            "blocks": {"block": {"attn": {"qkv": {
+                "kernel": jnp.ones((2, 64, 96)),  # TP on dim 2, FSDP dim 1
+                "bias": jnp.ones((2, 96)),        # TP on dim 1, too small
+            }}}},
+            "patch_embed": {"kernel": jnp.ones((588, 64))},  # FSDP dim 0
+        },
+        "head": {"tiny": jnp.ones((4, 4))},  # below min_size
+    }
+    sh = param_shardings(mesh, params, fsdp=True, fsdp_min_size=1024)
+    qkv = sh["backbone"]["blocks"]["block"]["attn"]["qkv"]
+    assert qkv["kernel"].spec == jax.sharding.PartitionSpec(None, "data", "model")
+    assert qkv["bias"].spec == jax.sharding.PartitionSpec(None, "model")
+    assert sh["backbone"]["patch_embed"]["kernel"].spec == \
+        jax.sharding.PartitionSpec("data", None)
+    assert sh["head"]["tiny"].spec == jax.sharding.PartitionSpec()
+
+    placed = jax.device_put(params, sh)
+    k = placed["backbone"]["blocks"]["block"]["attn"]["qkv"]["kernel"]
+    assert k.addressable_shards[0].data.shape == (2, 64 // data, 96 // 2)
+
+    # optimizer.init builds state from zeros_like (no data dependency on
+    # params), so jit cannot propagate shardings — opt_state_shardings
+    # supplies them explicitly.
+    from multihmr_tpu.parallel import opt_state_shardings
+
+    opt = optax.adam(1e-3)
+    osh = opt_state_shardings(mesh, opt, placed, sh)
+    with mesh:
+        opt_state = jax.jit(opt.init, out_shardings=osh)(placed)
+    mu = opt_state[0].mu["backbone"]["blocks"]["block"]["attn"]["qkv"]["kernel"]
+    assert mu.sharding.spec == jax.sharding.PartitionSpec(None, "data", "model")
+    assert mu.addressable_shards[0].data.shape == (2, 64 // data, 96 // 2)
+    np.testing.assert_array_equal(np.asarray(mu), 0.0)
+    count = opt_state[0].count
+    assert count.sharding.spec == jax.sharding.PartitionSpec()
