@@ -130,6 +130,11 @@ def main():
         "p50_ms_per_image": round(ms8, 3),
         "throughput_img_s": round(1000.0 / ms8, 1),
     }
+    ms4 = measure_model("multiHMR_896_L", batch=4)
+    results["multiHMR_896_L_batch4"] = {
+        "p50_ms_per_image": round(ms4, 3),
+        "throughput_img_s": round(1000.0 / ms4, 1),
+    }
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "BENCH_SWEEP.json")
     with open(out, "w") as f:

@@ -45,15 +45,45 @@ def main():
 
     forward_fn = None
     if args.artifact is not None:
+        import sys
+
+        from multihmr_tpu.config import named_config
         from multihmr_tpu.io.export import as_model_forward, load_exported
 
         loaded = load_exported(args.artifact)
-        args.model_name = loaded.meta.get("name", args.model_name)
+        name = loaded.meta.get("name", "")
+        try:
+            named_config(name)
+        except (KeyError, ValueError):
+            p.error(
+                f"artifact meta name {name!r} is not a known config — "
+                "re-export with tools/export_model.py (which records "
+                "--model_name) or export_model(name=...)"
+            )
+        # detection params and batch shape are baked into the artifact;
+        # warn when CLI flags would silently diverge from it
+        for flag, meta_key in (("det_thresh", "det_thresh"),
+                               ("nms_kernel_size", "nms_kernel_size"),
+                               ("max_batch", "batch_size")):
+            want, have = getattr(args, flag), loaded.meta.get(meta_key)
+            if have is not None and want != have:
+                print(
+                    f"WARNING: --{flag}={want} ignored — the artifact bakes "
+                    f"{meta_key}={have}", file=sys.stderr,
+                )
+        if args.ckpt is not None:
+            print("WARNING: --ckpt ignored — weights come from the artifact",
+                  file=sys.stderr)
+        args.model_name = name
         args.max_batch = loaded.batch_size
         forward_fn = as_model_forward(loaded)
         # model object still provides cfg/extract_persons/faces (host-side
         # only — its flax net is never traced on this path)
         model, params = build_model(args.model_name)
+        assert model.cfg.img_size == loaded.img_size, (
+            f"artifact img_size {loaded.img_size} != config "
+            f"{model.cfg.img_size} for {name!r}"
+        )
         params = loaded._params
     else:
         model, params = build_model(args.model_name, checkpoint=args.ckpt)

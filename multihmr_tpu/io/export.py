@@ -84,8 +84,10 @@ def export_model(
     S = model.cfg.img_size
     x_spec = jax.ShapeDtypeStruct((batch_size, S, S, 3), jnp.float32)
     K_spec = jax.ShapeDtypeStruct((batch_size, 3, 3), jnp.float32)
+    # dtype/shape introspection only — jnp.asarray here would device-commit
+    # every leaf (a full checkpoint upload) just to read .dtype
     p_spec = jax.tree_util.tree_map(
-        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype), params
+        lambda a: jax.ShapeDtypeStruct(np.shape(a), np.dtype(a.dtype)), params
     )
     exported = jexport.export(
         jax.jit(fn), platforms=list(platforms) if platforms else None
@@ -122,7 +124,11 @@ class ExportedModel:
 
     def __init__(self, exported, params, meta: dict):
         self._exported = exported
-        self._params = params
+        # commit the weights to device ONCE — msgpack_restore yields host
+        # numpy leaves, and passing those into the jitted call would
+        # re-upload the full weight tree (hundreds of MB for ViT-L) on
+        # every single inference call
+        self._params = jax.device_put(params)
         self.meta = meta
         self._call = jax.jit(exported.call)
 

@@ -120,10 +120,15 @@ def replicated(mesh: Mesh, pytree=None):
     return jax.tree_util.tree_map(lambda _: s, pytree)
 
 
-def shard_params(mesh: Mesh, params, fsdp: bool = False):
+def shard_params(mesh: Mesh, params, fsdp: bool = False,
+                 fsdp_min_size: int = 1 << 16):
     """Place a parameter pytree onto the mesh with TP/replication layout
-    (plus ZeRO/FSDP data-axis sharding of large leaves when ``fsdp``)."""
-    return jax.device_put(params, param_shardings(mesh, params, fsdp=fsdp))
+    (plus ZeRO/FSDP data-axis sharding of leaves ≥ ``fsdp_min_size``
+    elements when ``fsdp``)."""
+    return jax.device_put(
+        params,
+        param_shardings(mesh, params, fsdp=fsdp, fsdp_min_size=fsdp_min_size),
+    )
 
 
 def opt_state_shardings(mesh: Mesh, optimizer, params, psh):

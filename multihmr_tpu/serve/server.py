@@ -142,16 +142,17 @@ def make_server(model, params, port: int = 8000, max_batch: int = 8,
             if not self.path.startswith("/infer"):
                 self._send(404, "text/plain", b"not found")
                 return
+            if "render=1" in self.path and json_only:
+                # reject BEFORE decoding/preprocessing the image body
+                self._send(400, "application/json",
+                           b'{"error":"server started json_only"}')
+                return
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 img = np.asarray(
                     Image.open(io.BytesIO(self.rfile.read(n))).convert("RGB")
                 )
                 x, K, pil = preprocess(img)
-                if "render=1" in self.path and json_only:
-                    self._send(400, "application/json",
-                               b'{"error":"server started json_only"}')
-                    return
                 persons = batcher.submit(x, K)
                 if "render=1" in self.path:
                     from multihmr_tpu.io.preprocessing import (
