@@ -14,6 +14,8 @@ module, imported from /root/reference and run on CPU torch:
   * model.py:612-643             — _sigmoid / _nms / apply_threshold
   * utils/tensor_manip.py:7-45   — ragged rebatch/pad vs our static [B,K]
   * multi_hmr_anny/pos_embed.py  — 2D sincos positional embedding
+  * multi_hmr_anny/hph.py        — the Anny decoder stack (real module,
+    weights spliced into our AnnyHPH)
 
 Reference modules that only need torch/einops/numpy are loaded as standalone
 files (bypassing package __init__ chains); model.py is imported as a package
@@ -539,6 +541,79 @@ def test_hph_vs_reference_transformer_decoder(rng):
         rot6d_to_rotmat(jnp.asarray(pose.numpy().reshape(B, K, cfg.nrot, 6)))
     )
     np.testing.assert_allclose(np.asarray(out["rotmat"])[vm], rm_ref[vm], atol=2e-3)
+
+
+def test_anny_hph_vs_reference(rng):
+    """Our AnnyHPH vs the reference's own multi_hmr_anny/hph.py HPH module
+    (torch + einops only), with the reference module's weights spliced into
+    the flax tree using the converter's naming. Valid person slots must
+    match; the key-mask (−10e10 on SA keys, −1e6 on CA queries) makes the
+    residual-mask bookkeeping differences invisible on valid slots."""
+    hph_ref = load_ref_file("multi_hmr_anny/hph.py")
+    from multihmr_tpu.models.multihmr_anny import AnnyConfig, AnnyHPH
+
+    cfg = AnnyConfig(
+        xat_dim=32, xat_depth=2, xat_heads=2, xat_dim_head=16,
+        xat_mlp_dim=64, max_people=4, compute_dtype="float32",
+    )
+    torch.manual_seed(0)
+    ref = hph_ref.HPH(
+        dim=cfg.xat_dim, depth=cfg.xat_depth, heads=cfg.xat_heads,
+        dim_head=cfg.xat_dim_head, mlp_dim=cfg.xat_mlp_dim, dropout=0.0,
+    ).eval()
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+
+    # same mapping as convert_torch_checkpoint_anny's decoder block
+    _t = lambda w: w.T
+    dec = {}
+    for i in range(cfg.xat_depth):
+        layer = f"transformer.layers.{i}."
+        for j, tag in [(0, "sa"), (1, "ca"), (2, "ff")]:
+            dec[f"{tag}_norm{i}"] = {
+                "scale": sd[layer + f"{j}.norm.weight"],
+                "bias": sd[layer + f"{j}.norm.bias"],
+            }
+        dec[f"sa{i}"] = {
+            "to_qkv": {"kernel": _t(sd[layer + "0.fn.to_qkv.weight"])},
+            "to_out": {"kernel": _t(sd[layer + "0.fn.to_out.0.weight"]),
+                       "bias": sd[layer + "0.fn.to_out.0.bias"]},
+        }
+        dec[f"ca{i}"] = {
+            "to_kv": {"kernel": _t(sd[layer + "1.fn.to_kv.weight"])},
+            "to_q": {"kernel": _t(sd[layer + "1.fn.to_q.weight"])},
+            "to_out": {"kernel": _t(sd[layer + "1.fn.to_out.0.weight"]),
+                       "bias": sd[layer + "1.fn.to_out.0.bias"]},
+        }
+        dec[f"ff{i}"] = {
+            "fc1": {"kernel": _t(sd[layer + "2.fn.net.0.weight"]),
+                    "bias": sd[layer + "2.fn.net.0.bias"]},
+            "fc2": {"kernel": _t(sd[layer + "2.fn.net.3.weight"]),
+                    "bias": sd[layer + "2.fn.net.3.bias"]},
+        }
+    params = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float32), dec
+    )
+
+    B, K, N = 2, cfg.max_people, 9
+    queries = rng.normal(size=(B, K, cfg.xat_dim)).astype(np.float32)
+    context = rng.normal(size=(B, N, cfg.xat_dim)).astype(np.float32)
+    mask = np.array([[1, 1, 1, 0], [1, 0, 0, 0]], np.float32)
+    queries = queries * mask[..., None]
+
+    out = AnnyHPH(cfg).apply(
+        {"params": params},
+        jnp.asarray(queries), jnp.asarray(context), jnp.asarray(mask),
+    )
+    with torch.no_grad():
+        ref_out = ref(
+            torch.from_numpy(queries), torch.from_numpy(context),
+            torch.from_numpy(mask),
+        ).numpy()
+
+    vm = mask.astype(bool)
+    np.testing.assert_allclose(
+        np.asarray(out)[vm], ref_out[vm], rtol=2e-4, atol=2e-4
+    )
 
 
 def test_adaln_vs_reference(rng):
