@@ -35,6 +35,9 @@ def main():
     p.add_argument("--json_only", action="store_true",
                    help="skip mesh-tensor readback (disables ?render=1); "
                         "cuts per-request device->host tail latency")
+    p.add_argument("--dp", action="store_true",
+                   help="data-parallel serving: shard each coalesced batch "
+                        "over all local chips (max_batch must divide evenly)")
     args = p.parse_args()
 
     import jax
@@ -92,11 +95,23 @@ def main():
             params = model.init_params(jax.random.PRNGKey(0))
         params = cast_backbone_bf16(params)
 
+    mesh = None
+    if args.dp:
+        from multihmr_tpu.parallel import make_mesh
+
+        assert forward_fn is None, "--dp and --artifact are mutually exclusive"
+        mesh = make_mesh(model_parallel=1)
+        n = mesh.shape["data"]
+        if args.max_batch % n:
+            args.max_batch = ((args.max_batch + n - 1) // n) * n
+            print(f"--dp: rounding max_batch up to {args.max_batch} "
+                  f"({n} chips)")
+
     srv, batcher = make_server(
         model, params, port=args.port, max_batch=args.max_batch,
         det_thresh=args.det_thresh, nms_kernel_size=args.nms_kernel_size,
         max_delay_ms=args.max_delay_ms, forward_fn=forward_fn,
-        json_only=args.json_only,
+        json_only=args.json_only, mesh=mesh,
     )
     print(
         f"serving {args.model_name} on http://0.0.0.0:{args.port} "

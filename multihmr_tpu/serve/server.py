@@ -28,7 +28,7 @@ import numpy as np
 def build_batched_infer(model, params, max_batch: int = 8,
                         det_thresh: float = 0.3, nms_kernel_size: int = 3,
                         max_delay_ms: float = 5.0, forward_fn=None,
-                        fields=None):
+                        fields=None, mesh=None):
     """(batcher, preprocess) for ``model`` at a fixed batch capacity.
 
     ``forward_fn``: optional ``(params, x, K) -> out`` override replacing the
@@ -39,17 +39,36 @@ def build_batched_infer(model, params, max_batch: int = 8,
 
     ``fields``: restrict device→host readback per request (see
     ``MultiHMR.extract_persons``) — the readback of unused mesh tensors is
-    the dominant per-request tail for JSON-only clients."""
+    the dominant per-request tail for JSON-only clients.
+
+    ``mesh``: a ``jax.sharding.Mesh`` → data-parallel serving: the batch
+    axis is sharded over the mesh's ``data`` axis (weights replicated), so
+    a multi-chip host serves one coalesced batch across all its chips.
+    ``max_batch`` must be a multiple of the data-axis size."""
     import jax
     import jax.numpy as jnp
 
     from multihmr_tpu.serve.batcher import DynamicBatcher
 
-    fwd = forward_fn if forward_fn is not None else jax.jit(
-        lambda p, x, K: model.forward(
-            p, x, K, det_thresh=det_thresh, nms_kernel_size=nms_kernel_size
-        )
+    body = lambda p, x, K: model.forward(
+        p, x, K, det_thresh=det_thresh, nms_kernel_size=nms_kernel_size
     )
+    if forward_fn is not None:
+        fwd = forward_fn
+    elif mesh is not None:
+        from multihmr_tpu.parallel.sharding import batch_sharding, replicated
+
+        n_data = mesh.shape["data"]
+        assert max_batch % n_data == 0, (max_batch, n_data)
+        params = jax.device_put(params, replicated(mesh, params))
+        x_sh = batch_sharding(mesh)
+        fwd = jax.jit(
+            body,
+            in_shardings=(replicated(mesh, params), x_sh, x_sh),
+            out_shardings=None,
+        )
+    else:
+        fwd = jax.jit(body)
 
     def batch_fn(x, K):
         return fwd(params, jnp.asarray(x), jnp.asarray(K))
@@ -97,12 +116,12 @@ def _persons_json(persons) -> bytes:
 def make_server(model, params, port: int = 8000, max_batch: int = 8,
                 det_thresh: float = 0.3, nms_kernel_size: int = 3,
                 max_delay_ms: float = 5.0, forward_fn=None,
-                json_only: bool = False):
+                json_only: bool = False, mesh=None):
     """Build (ThreadingHTTPServer, batcher). Caller runs serve_forever().
-    ``forward_fn``: see :func:`build_batched_infer`. ``json_only``: skip the
-    mesh-tensor (v3d/rotvec/shape/...) device readback — /infer?render=1
-    then returns 400, and per-request latency drops to the JSON fields'
-    readback only."""
+    ``forward_fn``/``mesh``: see :func:`build_batched_infer`. ``json_only``:
+    skip the mesh-tensor (v3d/rotvec/shape/...) device readback —
+    /infer?render=1 then returns 400, and per-request latency drops to the
+    JSON fields' readback only."""
     from PIL import Image
 
     from multihmr_tpu.render import overlay_human_meshes
@@ -112,6 +131,7 @@ def make_server(model, params, port: int = 8000, max_batch: int = 8,
         model, params, max_batch=max_batch, det_thresh=det_thresh,
         nms_kernel_size=nms_kernel_size, max_delay_ms=max_delay_ms,
         forward_fn=forward_fn, fields=json_fields if json_only else None,
+        mesh=mesh,
     )
     faces = np.asarray(model.body_model.faces)
 

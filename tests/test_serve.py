@@ -155,6 +155,41 @@ def test_http_server_end_to_end():
         batcher.close()
 
 
+def test_dp_mesh_serving_matches_single():
+    """Data-parallel serving (batch sharded over the 8-device mesh) must
+    produce the same persons as the unsharded path."""
+    from multihmr_tpu.parallel import make_mesh
+    from multihmr_tpu.serve.server import build_batched_infer
+
+    model, params = _tiny_model()
+    mesh = make_mesh(8, model_parallel=1)
+
+    rng = np.random.default_rng(3)
+    S = model.cfg.img_size
+    x = rng.normal(size=(S, S, 3)).astype(np.float32)
+    K = np.asarray([[100.0, 0, S / 2], [0, 100.0, S / 2], [0, 0, 1]],
+                   np.float32)
+
+    dp_batcher, _ = build_batched_infer(
+        model, params, max_batch=8, det_thresh=0.1, max_delay_ms=1.0,
+        mesh=mesh,
+    )
+    try:
+        got = dp_batcher.submit(x, K)
+    finally:
+        dp_batcher.close()
+
+    direct = jax.jit(
+        lambda p, x, K: model.forward(p, x, K, det_thresh=0.1)
+    )(params, jnp.asarray(x)[None], jnp.asarray(K)[None])
+    want = model.extract_persons(jax.device_get(direct))[0]
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(
+            np.asarray(g["v3d"]), np.asarray(w["v3d"]), rtol=2e-5, atol=2e-5
+        )
+
+
 def test_http_server_json_only():
     """json_only server: JSON responses equal the full server's, ?render=1
     is rejected, and the extracted persons carry only the JSON fields."""
