@@ -27,11 +27,7 @@ def build_infer(model_name: str, ckpt, model=None, params=None, cache_dir=None,
     import jax.numpy as jnp
 
     from multihmr_tpu.factory import build_model
-    from multihmr_tpu.io.preprocessing import (
-        get_camera_parameters,
-        normalize_nhwc,
-        rescale_K_to_original,
-    )
+    from multihmr_tpu.io.preprocessing import rescale_K_to_original
     from multihmr_tpu.render import overlay_human_meshes, create_glb_scene
 
     if model is None:
@@ -74,7 +70,7 @@ def build_infer(model_name: str, ckpt, model=None, params=None, cache_dir=None,
     def infer(img: np.ndarray, det_thresh: float = 0.3, nms_kernel_size: int = 3,
               fov: float = 60):
         """img: HWC uint8. Returns (overlay uint8, glb bytes, n_persons)."""
-        from PIL import Image, ImageOps
+        from PIL import Image
 
         if cache_dir is not None:
             os.makedirs(cache_dir, exist_ok=True)
@@ -85,19 +81,28 @@ def build_infer(model_name: str, ckpt, model=None, params=None, cache_dir=None,
                 with open(glb_fn, "rb") as f:
                     return np.asarray(cached.convert("RGB")), f.read(), count
 
-        pil = Image.fromarray(img).convert("RGB")
+        from multihmr_tpu.io.preprocessing import preprocess_array
+
         S = model.cfg.img_size
-        resized = ImageOps.pad(ImageOps.contain(pil, (S, S)), size=(S, S))
-        x = normalize_nhwc(np.asarray(resized))[None]
-        K = get_camera_parameters(S, fov=fov)
-        key = (det_thresh, nms_kernel_size)
+        pre = preprocess_array(img, S, fov=fov)
+        pil, resized = pre.original, pre.resized
+        x = pre.x[None]
+        K = pre.K[None]
+        # det_thresh is only used in >= comparisons → keep it a TRACED
+        # argument so moving the threshold slider reuses the compiled
+        # program. Only nms_kernel_size (a conv window) is genuinely static
+        # — each distinct value costs one (slow, remote) compile.
+        key = nms_kernel_size
         if key not in fwd_cache:
             fwd_cache[key] = jax.jit(
-                lambda p, x, K: model.forward(
-                    p, x, K, det_thresh=det_thresh, nms_kernel_size=nms_kernel_size
+                lambda p, x, K, t: model.forward(
+                    p, x, K, det_thresh=t, nms_kernel_size=nms_kernel_size
                 )
             )
-        out = fwd_cache[key](params, jnp.asarray(x), jnp.asarray(K))
+        out = fwd_cache[key](
+            params, jnp.asarray(x), jnp.asarray(K),
+            jnp.float32(det_thresh),
+        )
         humans = model.extract_persons(out)[0]
         K_full = rescale_K_to_original(K, pil.size[0], pil.size[1], S)
         overlay, _ = overlay_human_meshes(humans, faces, K_full, pil)

@@ -76,6 +76,9 @@ def main():
         max_people=args.max_people,
     )
     bm, real = load_body_model(cfg.num_betas)
+    # GT targets run through an 11-beta neutral SMPL-X like the reference
+    # (train.py:41-43, 99-110), independent of the model's num_betas.
+    gt_bm, _ = load_body_model(11) if cfg.num_betas != 11 else (bm, real)
     if not real:
         print("WARNING: SMPL-X assets not found — using the synthetic body model")
     model = MultiHMR(cfg, bm)
@@ -93,6 +96,12 @@ def main():
             params = convert_torch_checkpoint(args.pretrained, cfg)
     else:
         params = model.init_params(jax.random.PRNGKey(0))
+        # From-scratch training starts from the SMPL mean pose when the
+        # asset exists (reference model.py:440-477); the no-asset fallback
+        # is the neutral identity-6d layout baked into HPH's initializers.
+        from multihmr_tpu.io.checkpoint import apply_mean_params
+
+        params = apply_mean_params(params, cfg)
 
     logger = MetricsLogger(args.logdir, args.name)
     weights = LossWeights(
@@ -146,7 +155,7 @@ def main():
                                     [h["smplx_root_pose"], h["smplx_body_pose"],
                                      h["smplx_left_hand_pose"], h["smplx_right_hand_pose"],
                                      h["smplx_jaw_pose"]], 0),
-                                "shape": h["smplx_shape"][: cfg.num_betas],
+                                "shape": h["smplx_shape"][:11],
                                 "transl": h["smplx_transl"],
                             }
                             for h in humans
@@ -162,6 +171,7 @@ def main():
         weights=weights,
         checkpoint_dir=os.path.join(args.ckptdir, args.name),
         nb_max_ckpt=args.nb_max_ckpt,
+        gt_body_model=gt_bm,
     )
     trainer.fit(params, data_iter, epochs=args.n_epoch, eval_fn=run_eval)
 

@@ -57,6 +57,17 @@ def collate_padded(
         person_keys = sorted(
             {k for s in samples for h in s["humans"] for k in h}
         )
+        if not person_keys:
+            # All-empty batch (every person filtered, e.g. behind-camera):
+            # still emit the standard GT keys with zero-filled shapes so the
+            # fixed-signature jitted train step never sees a missing key.
+            _DEFAULTS = {"pose": (53, 3), "shape": (11,), "transl": (3,)}
+            for key, shp in _DEFAULTS.items():
+                batch[f"gt_{key}"] = np.zeros(
+                    (B, max_people) + shp, np.float32
+                )
+            batch["gt_valid"] = np.zeros((B, max_people), np.float32)
+            return batch
     valid = np.zeros((B, max_people), np.float32)
     for key in person_keys:
         proto = None

@@ -417,6 +417,30 @@ def convert_torch_checkpoint_anny(ckpt_or_path, cfg) -> dict:
 
 # ---------------- native checkpoints ----------------
 
+def apply_mean_params(params, cfg: ModelConfig, path: str = None):
+    """Splice ``smpl_mean_params.npz`` into a fresh param tree's HPH init
+    buffers (reference model.py:440-477). No-op (returns ``params``
+    unchanged) when the asset is absent — HPH's own initializers already
+    carry the neutral identity-6d fallback."""
+    import jax.numpy as jnp
+
+    from multihmr_tpu.bodymodel.assets import load_mean_params
+    from multihmr_tpu.factory import SMPLX_DIR
+
+    if path is None:
+        path = os.path.join(SMPLX_DIR, "smpl_mean_params.npz")
+    if not os.path.exists(path):
+        return params
+    mean = load_mean_params(path, nrot=cfg.nrot, num_betas=cfg.num_betas)
+    p = jax.tree_util.tree_map(lambda x: x, params)  # shallow-copied pytree
+    head = p["params"]["x_attention_head"]
+    head["init_body_pose"] = jnp.asarray(mean["pose"], jnp.float32)
+    head["init_betas"] = jnp.asarray(mean["shape"], jnp.float32)
+    head["init_cam"] = jnp.asarray(mean["cam"], jnp.float32)
+    head["init_expression"] = jnp.asarray(mean["expression"], jnp.float32)
+    return p
+
+
 def save_checkpoint(ckpt_dir: str, params, epoch: int, cfg: ModelConfig):
     """Flax-msgpack params + JSON config (analogue of reference
     train.py:195-207's ``{epoch, model_state_dict, args}``)."""

@@ -12,7 +12,7 @@ reference's NCHW.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
 
@@ -85,6 +85,36 @@ def normalize_nhwc(img: np.ndarray) -> np.ndarray:
     """uint8 HWC → float32 HWC ImageNet-normalized."""
     x = img.astype(np.float32) / 255.0
     return (x - IMG_NORM_MEAN) / IMG_NORM_STD
+
+
+class PreprocessedImage(NamedTuple):
+    x: np.ndarray  # [S, S, 3] normalized float32
+    K: np.ndarray  # [3, 3]
+    original: "object"  # unresized PIL image (or array without PIL)
+    resized: "object"  # contain+pad PIL image at [S, S]
+
+
+def preprocess_array(
+    img_rgb: np.ndarray, img_size: int, fov: float = 60.0
+) -> PreprocessedImage:
+    """In-memory twin of :func:`open_image` for serving paths: uint8 HWC RGB
+    → :class:`PreprocessedImage`. The single place the
+    contain+pad+normalize+K recipe lives for array inputs — cli/app and
+    serve/server both call this, so the padding/centering semantics cannot
+    drift between the demo and the servers."""
+    if not _HAS_PIL:  # pragma: no cover
+        arr = resize_pad_numpy(np.asarray(img_rgb), img_size)
+        return PreprocessedImage(
+            normalize_nhwc(arr), get_camera_parameters(img_size, fov=fov)[0],
+            np.asarray(img_rgb), arr,
+        )
+    pil = Image.fromarray(np.asarray(img_rgb)).convert("RGB")
+    resized = ImageOps.pad(
+        ImageOps.contain(pil, (img_size, img_size)), size=(img_size, img_size)
+    )
+    x = normalize_nhwc(np.asarray(resized))
+    K = get_camera_parameters(img_size, fov=fov)[0]
+    return PreprocessedImage(x, K, pil, resized)
 
 
 def get_camera_parameters(

@@ -185,16 +185,27 @@ class HPH(nn.Module):
         context = grid_to_tokens(kv)  # [B, N, C]
 
         # Mean-parameter inits (reference model.py:440-477; converted
-        # checkpoints overwrite these "buffers").
+        # checkpoints overwrite these "buffers"). Fresh inits use the
+        # NEUTRAL pose layout (identity 6d per joint), not zeros — a zero
+        # 6d is rank-deficient under Gram-Schmidt, so zero-initialized
+        # training from scratch would start from collapsed rotations. The
+        # real SMPL mean pose (smpl_mean_params.npz) is spliced in by
+        # ``apply_mean_params`` / the checkpoint converter when available.
+        from multihmr_tpu.bodymodel.assets import load_mean_params
+
+        mean = load_mean_params(None, nrot=c.nrot, num_betas=c.num_betas)
         init_pose = self.param(
-            "init_body_pose", nn.initializers.zeros, (1, c.npose), jnp.float32
+            "init_body_pose", lambda _: jnp.asarray(mean["pose"], jnp.float32)
         )
         init_betas = self.param(
-            "init_betas", nn.initializers.zeros, (1, c.num_betas), jnp.float32
+            "init_betas", lambda _: jnp.asarray(mean["shape"], jnp.float32)
         )
-        init_cam = self.param("init_cam", nn.initializers.zeros, (1, 3), jnp.float32)
+        init_cam = self.param(
+            "init_cam", lambda _: jnp.asarray(mean["cam"], jnp.float32)
+        )
         init_expression = self.param(
-            "init_expression", nn.initializers.zeros, (1, 10), jnp.float32
+            "init_expression",
+            lambda _: jnp.asarray(mean["expression"], jnp.float32),
         )
 
         expand = lambda t: jnp.broadcast_to(t[None], (B, K, t.shape[-1]))

@@ -173,12 +173,16 @@ def rigid_points_registration(
     cov = jnp.einsum("...ni,...nj->...ij", yc, xc, precision=hi)  # (3,3)
     U, S, Vt = jnp.linalg.svd(cov)
     det = jnp.linalg.det(jnp.matmul(U, Vt, precision=hi))
+    # Umeyama convention: d = ±1 only. sign(0) = 0 (degenerate/coplanar
+    # covariance) would make R rank-deficient and drop S[2] from the scale;
+    # treating det ≥ 0 as +1 keeps R a proper rotation in every case.
+    d = jnp.where(det < 0, -1.0, 1.0).astype(x.dtype)
     D = jnp.broadcast_to(jnp.eye(3, dtype=x.dtype), cov.shape).copy()
-    D = D.at[..., 2, 2].set(jnp.sign(det))
+    D = D.at[..., 2, 2].set(d)
     R = jnp.matmul(jnp.matmul(U, D, precision=hi), Vt, precision=hi)
     if compute_scaling:
         var_x = jnp.sum(xc * xc, axis=(-1, -2))
-        s = jnp.sum(S * jnp.stack([jnp.ones_like(det), jnp.ones_like(det), jnp.sign(det)], -1), -1) / jnp.maximum(var_x, 1e-24)
+        s = jnp.sum(S * jnp.stack([jnp.ones_like(d), jnp.ones_like(d), d], -1), -1) / jnp.maximum(var_x, 1e-24)
         t = mu_y[..., 0, :] - s[..., None] * jnp.einsum(
             "...ij,...j->...i", R, mu_x[..., 0, :], precision=hi
         )

@@ -128,11 +128,11 @@ class DynamicBatcher:
         self._worker.join(timeout=5)
 
     # --------------------------------------------------------------- worker
-    def _collect(self) -> List[_Request]:
-        """Block for the first request, then coalesce up to max_batch for at
-        most max_delay_ms."""
+    def _collect(self, first_timeout: float = 0.1) -> List[_Request]:
+        """Block up to ``first_timeout`` for the first request, then coalesce
+        up to max_batch for at most max_delay_ms."""
         try:
-            first = self._q.get(timeout=0.1)
+            first = self._q.get(timeout=first_timeout)
         except queue.Empty:
             return []
         reqs = [first]
@@ -176,7 +176,11 @@ class DynamicBatcher:
     def _run(self):
         pending: Optional[tuple] = None  # (reqs, device_out) in flight
         while not self._stop.is_set():
-            reqs = self._collect()
+            # With a batch in flight, only PEEK for follow-up work (1 ms):
+            # blocking the full 100 ms here would delay resolving the
+            # finished batch by that much on every idle gap — pipelining is
+            # for sustained load, where the queue is non-empty anyway.
+            reqs = self._collect(0.001 if pending is not None else 0.1)
             if reqs:
                 try:
                     out = self._dispatch(reqs)

@@ -81,18 +81,10 @@ def build_batched_infer(model, params, max_batch: int = 8,
     S = model.cfg.img_size
 
     def preprocess(img_rgb: np.ndarray, fov: float = 60.0):
-        from PIL import Image, ImageOps
+        from multihmr_tpu.io.preprocessing import preprocess_array
 
-        from multihmr_tpu.io.preprocessing import (
-            get_camera_parameters,
-            normalize_nhwc,
-        )
-
-        pil = Image.fromarray(img_rgb).convert("RGB")
-        resized = ImageOps.pad(ImageOps.contain(pil, (S, S)), size=(S, S))
-        x = normalize_nhwc(np.asarray(resized))
-        K = np.asarray(get_camera_parameters(S, fov=fov))[0]
-        return x, K, pil
+        p = preprocess_array(img_rgb, S, fov=fov)
+        return p.x, p.K, p.original
 
     batcher = DynamicBatcher(
         batch_fn, extract_fn, max_batch=max_batch, max_delay_ms=max_delay_ms
@@ -159,10 +151,14 @@ def make_server(model, params, port: int = 8000, max_batch: int = 8,
                 self._send(404, "text/plain", b"not found")
 
         def do_POST(self):
-            if not self.path.startswith("/infer"):
+            from urllib.parse import parse_qs, urlparse
+
+            parsed = urlparse(self.path)
+            if parsed.path != "/infer":
                 self._send(404, "text/plain", b"not found")
                 return
-            if "render=1" in self.path and json_only:
+            render = parse_qs(parsed.query).get("render", ["0"])[0] == "1"
+            if render and json_only:
                 # reject BEFORE decoding/preprocessing the image body
                 self._send(400, "application/json",
                            b'{"error":"server started json_only"}')
@@ -174,7 +170,7 @@ def make_server(model, params, port: int = 8000, max_batch: int = 8,
                 )
                 x, K, pil = preprocess(img)
                 persons = batcher.submit(x, K)
-                if "render=1" in self.path:
+                if render:
                     from multihmr_tpu.io.preprocessing import (
                         rescale_K_to_original,
                     )

@@ -29,23 +29,25 @@ def make_smplx_gt_forward(body_model, num_betas: int = 11):
     """GT forward for datasets that store SMPL-X parameters (BEDLAM):
     annot['humans'] entries with smplx_* keys → v3d/j3d/j2d dict.
     The jit'd body-model forward is shared with the training path."""
-    import functools
-
     from multihmr_tpu.bodymodel.core import lbs_forward
     from multihmr_tpu.ops.rotations import rotvec_to_rotmat
 
-    @functools.lru_cache(maxsize=4)
-    def _fwd_for(n):
-        @jax.jit
-        def f(pose, shape, transl, K):
-            rots = rotvec_to_rotmat(pose)
-            out = lbs_forward(body_model, rots, shape)
-            v3d = out["vertices"] + transl[:, None]
-            j3d = out["joints"] + transl[:, None]
-            j2d = perspective_projection(j3d, K[None])
-            return v3d, j3d, j2d
+    # ONE jit for every person count: jax.jit keeps a per-shape executable
+    # cache internally and never evicts — an lru_cache over per-count jits
+    # would discard compiled programs once >maxsize distinct counts appear
+    # and re-pay the (slow, remote) compile on every recurrence.
+    @jax.jit
+    def _fwd(pose, shape, transl, K):
+        rots = rotvec_to_rotmat(pose)
+        out = lbs_forward(body_model, rots, shape)
+        v3d = out["vertices"] + transl[:, None]
+        j3d = out["joints"] + transl[:, None]
+        j2d = perspective_projection(j3d, K[None])
+        return v3d, j3d, j2d
 
-        return f
+    def _fwd_for(n):
+        del n
+        return _fwd
 
     def gt_forward(annot):
         humans = annot["humans"]

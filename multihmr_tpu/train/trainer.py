@@ -183,9 +183,21 @@ class Trainer:
     nb_max_ckpt: int = 3
     log_fn: Callable[[str], None] = print
     metrics_logger: Optional[Any] = None  # utils.logging.MetricsLogger
+    # GT body model for prepare_gt — the reference ALWAYS runs GT through
+    # an 11-beta neutral SMPL-X (train.py:41-43, 99-110) even when the
+    # model regresses 10 betas; None = reuse the model's body model.
+    gt_body_model: Optional[Any] = None
 
     def __post_init__(self):
-        self.train_step = make_train_step(self.model, self.optimizer, self.weights)
+        # GT targets must be centered on the SAME joint as the model's
+        # predictions (reference train.py:58-182 uses args.person_center for
+        # both) — a mismatch here silently trains toward a head-vs-pelvis
+        # offset.
+        self.train_step = make_train_step(
+            self.model, self.optimizer, self.weights,
+            gt_body_model=self.gt_body_model,
+            person_center=self.model.cfg.person_center,
+        )
 
     def fit(
         self,
