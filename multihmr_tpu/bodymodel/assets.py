@@ -236,11 +236,17 @@ def load_mean_params(path: Optional[str], nrot: int = 53, num_betas: int = 10):
         cam = np.array([[0.9, 0.0, 0.0]], np.float32)
 
     if nrot == 53:
-        # reference model.py:444-453: eye-derived 6d for all 53 joints, the
-        # first 24 overwritten by the SMPL mean pose. (The eye-derived rows
-        # flatten identity's first two *columns*, reproducing the reference's
-        # layout exactly.)
-        eye6d = np.eye(3, dtype=np.float32)[:, :2].reshape(1, 6)
+        # reference model.py:444-453: eye-derived 6d for joints beyond the
+        # file's 24, the first 24 overwritten by the SMPL mean pose.
+        # DELIBERATE deviation: the reference flattens eye(3)[:, :2]
+        # row-major → [1,0,0,1,0,0], which under the interleaved-row 6d
+        # convention (utils/humans.py:20 reshape(-1,2,3)) is two PARALLEL
+        # vectors — rank-deficient under Gram-Schmidt, i.e. the reference's
+        # own from-scratch init for hands/jaw is degenerate (checkpoints
+        # overwrite these buffers, masking it). We use the proper identity
+        # 6d [1,0,0,0,1,0] (a1=e1, a2=e2 → R=I) instead; converted
+        # checkpoints still carry the reference's exact buffers.
+        eye6d = np.array([[1, 0, 0, 0, 1, 0]], np.float32)
         pose = np.tile(eye6d, (1, nrot))
         pose[:, : 24 * 6] = pose24[:, : 24 * 6]
     else:

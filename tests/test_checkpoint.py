@@ -248,3 +248,61 @@ def test_convert_num_betas_11(rng):
     out = model.forward(params, x, K)
     assert out["shape"].shape[-1] == 11
     assert np.isfinite(np.asarray(out["v3d"])).all()
+
+
+def test_apply_mean_params_splices_asset(rng, tmp_path):
+    """apply_mean_params loads smpl_mean_params.npz into the HPH init
+    buffers (reference model.py:440-477): first 24 joints from the file's
+    mean pose, identity-6d beyond, shape/cam from the file."""
+    from multihmr_tpu.io.checkpoint import apply_mean_params
+
+    cfg = TinyConfig(
+        img_size=56, max_people=4, person_center="j5", compute_dtype="float32"
+    )
+    bm = synthetic_body_model()
+    names = [f"j{i}" for i in range(bm.num_output_joints)]
+    model = MultiHMR(cfg, bm, person_center_joint_names=names)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    mean_pose = rng.normal(size=(24 * 6,)).astype(np.float32)
+    path = tmp_path / "smpl_mean_params.npz"
+    np.savez(
+        path, pose=mean_pose,
+        shape=rng.normal(size=(10,)).astype(np.float32),
+        cam=np.array([0.9, 0.1, -0.1], np.float32),
+    )
+    out = apply_mean_params(params, cfg, path=str(path))
+    head = out["params"]["x_attention_head"]
+    got = np.asarray(head["init_body_pose"]).reshape(cfg.nrot, 6)
+    np.testing.assert_allclose(got[:24].reshape(-1), mean_pose, rtol=1e-6)
+    # beyond the file's 24 joints: the PROPER identity-6d layout (a1=e1,
+    # a2=e2) — deliberately not the reference's degenerate [1,0,0,1,0,0]
+    # (see assets.load_mean_params docstring)
+    eye6d = np.array([1, 0, 0, 0, 1, 0], np.float32)
+    np.testing.assert_array_equal(got[24:], np.tile(eye6d, (cfg.nrot - 24, 1)))
+    assert np.asarray(head["init_cam"]).reshape(-1)[0] == np.float32(0.9)
+    # missing asset → unchanged tree
+    same = apply_mean_params(params, cfg, path=str(tmp_path / "none.npz"))
+    assert same is params
+
+
+def test_fresh_init_rotations_are_proper(rng):
+    """Fresh (no-checkpoint) init must start from PROPER rotations: the HPH
+    init pose buffers carry the neutral identity-6d layout, so the forward's
+    rotmats have det ~ +1 — a zero-initialized 6d would Gram-Schmidt to a
+    rank-deficient matrix and collapse every mesh when training from
+    scratch."""
+    cfg = TinyConfig(
+        img_size=56, max_people=4, person_center="j5", compute_dtype="float32"
+    )
+    bm = synthetic_body_model()
+    names = [f"j{i}" for i in range(bm.num_output_joints)]
+    model = MultiHMR(cfg, bm, person_center_joint_names=names)
+    params = model.init_params(jax.random.PRNGKey(0))
+    pose0 = np.asarray(
+        params["params"]["x_attention_head"]["init_body_pose"]
+    ).reshape(cfg.nrot, 6)
+    from multihmr_tpu.ops.rotations import rot6d_to_rotmat
+
+    R = np.asarray(rot6d_to_rotmat(jnp.asarray(pose0)))
+    np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-5)
