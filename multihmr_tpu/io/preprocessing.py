@@ -39,26 +39,60 @@ def contain_size(w: int, h: int, target: int) -> Tuple[int, int]:
     return nw, nh
 
 
+def _bicubic_kernel(x: np.ndarray) -> np.ndarray:
+    # Catmull-Rom (a = -0.5), PIL's "BICUBIC"
+    a = -0.5
+    x = np.abs(x)
+    return np.where(
+        x < 1.0,
+        ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0,
+        np.where(x < 2.0, (((x - 5.0) * x + 8.0) * x - 4.0) * a, 0.0),
+    )
+
+
+def _resample_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """[out, in] normalized-weight matrix for PIL's separable resample:
+    support widens with the downscale factor (area-average-like when
+    shrinking), weights normalized per output pixel."""
+    scale = in_size / out_size
+    fs = max(scale, 1.0)
+    support = 2.0 * fs  # bicubic support = 2
+    W = np.zeros((out_size, in_size), np.float64)
+    for xx in range(out_size):
+        center = (xx + 0.5) * scale
+        xmin = max(int(center - support + 0.5), 0)
+        xmax = min(int(center + support + 0.5), in_size)
+        xs = np.arange(xmin, xmax)
+        w = _bicubic_kernel((xs - center + 0.5) / fs)
+        s = w.sum()
+        W[xx, xmin:xmax] = w / s if s != 0.0 else w
+    return W
+
+
+def _clip8_round(v: np.ndarray) -> np.ndarray:
+    # PIL's fixed-point rounding == floor(v + 0.5), clipped to uint8
+    return np.clip(np.floor(v + 0.5), 0, 255).astype(np.uint8)
+
+
 def resize_pad_numpy(img: np.ndarray, img_size: int) -> np.ndarray:
-    """Bilinear contain + centered zero-pad, pure numpy (HWC uint8)."""
+    """PIL-convention BICUBIC contain + centered zero-pad, pure numpy
+    (HWC uint8). Matches ``ImageOps.contain``'s default resample within
+    1/255 per channel (separable convolution with a uint8 intermediate,
+    like PIL's two-pass 8-bit path) — keeping the no-PIL fallback
+    numerically aligned with the primary path and the native C++ twin."""
     h, w = img.shape[:2]
     nw, nh = contain_size(w, h, img_size)
-    ys = (np.arange(nh) + 0.5) * h / nh - 0.5
-    xs = (np.arange(nw) + 0.5) * w / nw - 0.5
-    y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
-    x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
-    y1 = np.clip(y0 + 1, 0, h - 1)
-    x1 = np.clip(x0 + 1, 0, w - 1)
-    wy = np.clip(ys - y0, 0, 1)[:, None, None]
-    wx = np.clip(xs - x0, 0, 1)[None, :, None]
-    img_f = img.astype(np.float32)
-    top = img_f[y0][:, x0] * (1 - wx) + img_f[y0][:, x1] * wx
-    bot = img_f[y1][:, x0] * (1 - wx) + img_f[y1][:, x1] * wx
-    resized = top * (1 - wy) + bot * wy
-    out = np.zeros((img_size, img_size, img.shape[2]), np.float32)
+    # horizontal then vertical, rounding to uint8 between passes like PIL
+    tmp = _clip8_round(
+        np.einsum("ow,hwc->hoc", _resample_matrix(w, nw), img.astype(np.float64))
+    )
+    resized = _clip8_round(
+        np.einsum("oh,hwc->owc", _resample_matrix(h, nh), tmp.astype(np.float64))
+    )
+    out = np.zeros((img_size, img_size, img.shape[2]), img.dtype)
     oy, ox = (img_size - nh) // 2, (img_size - nw) // 2
     out[oy : oy + nh, ox : ox + nw] = resized
-    return out.astype(img.dtype)
+    return out
 
 
 def open_image(

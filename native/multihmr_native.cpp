@@ -7,8 +7,8 @@
 // library implements it natively:
 //
 //   * JPEG (libjpeg) and PNG (libpng) decoding,
-//   * bilinear contain-resize + centered zero-pad + ImageNet normalization
-//     straight into a caller-provided float32 NHWC buffer,
+//   * PIL-convention BICUBIC contain-resize + centered zero-pad + ImageNet
+//     normalization straight into a caller-provided float32 NHWC buffer,
 //   * a prefetching multi-threaded batch loader (worker pool + bounded
 //     queue) that keeps the TPU fed during folder inference / training.
 //
@@ -108,7 +108,12 @@ ImageU8 decode_png(const uint8_t* buf, size_t len) {
   ImageU8 img;
   if (len < 8 || png_sig_cmp(buf, 0, 8)) return img;
   png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) return img;
   png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    return img;
+  }
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
     return img;
@@ -142,18 +147,72 @@ ImageU8 decode_image(const uint8_t* buf, size_t len) {
   return decode_png(buf, len);
 }
 
-ImageU8 load_file(const char* path) {
-  ImageU8 img;
+// Header-only dimension probe: jpeg_read_header / png_read_info give w/h
+// without decoding any scanlines (a full decode just to learn the size
+// doubled the host cost of the two-call ctypes protocol).
+bool decode_dims(const uint8_t* buf, size_t len, int* w, int* h) {
+  if (len >= 2 && buf[0] == 0xFF && buf[1] == 0xD8) {
+    jpeg_decompress_struct cinfo;
+    JpegErrorMgr jerr;
+    cinfo.err = jpeg_std_error(&jerr.pub);
+    jerr.pub.error_exit = jpeg_error_exit;
+    if (setjmp(jerr.setjmp_buffer)) {
+      jpeg_destroy_decompress(&cinfo);
+      return false;
+    }
+    jpeg_create_decompress(&cinfo);
+    jpeg_mem_src(&cinfo, const_cast<uint8_t*>(buf), len);
+    if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+      jpeg_destroy_decompress(&cinfo);
+      return false;
+    }
+    *w = cinfo.image_width;
+    *h = cinfo.image_height;
+    jpeg_destroy_decompress(&cinfo);
+    return true;
+  }
+  if (len < 8 || png_sig_cmp(buf, 0, 8)) return false;
+  png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) return false;
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    return false;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return false;
+  }
+  PngReadState st{buf, len, 0};
+  png_set_read_fn(png, &st, png_read_fn);
+  png_read_info(png, info);
+  *w = (int)png_get_image_width(png, info);
+  *h = (int)png_get_image_height(png, info);
+  png_destroy_read_struct(&png, &info, nullptr);
+  return true;
+}
+
+// Raw file bytes (shared by load_file and the dims probe).
+bool read_file_bytes(const char* path, std::vector<uint8_t>* buf) {
   FILE* f = fopen(path, "rb");
-  if (!f) return img;
+  if (!f) return false;
   fseek(f, 0, SEEK_END);
   long n = ftell(f);
+  if (n < 0) {
+    fclose(f);
+    return false;
+  }
   fseek(f, 0, SEEK_SET);
-  std::vector<uint8_t> buf(n);
-  size_t rd = fread(buf.data(), 1, n, f);
+  buf->resize(n);
+  size_t rd = fread(buf->data(), 1, n, f);
   fclose(f);
-  if ((long)rd != n) return img;
-  return decode_image(buf.data(), n);
+  return (long)rd == n;
+}
+
+ImageU8 load_file(const char* path) {
+  std::vector<uint8_t> buf;
+  if (!read_file_bytes(path, &buf)) return ImageU8();
+  return decode_image(buf.data(), buf.size());
 }
 
 // -------- contain-resize + pad + normalize --------
@@ -171,51 +230,122 @@ void contain_size(int w, int h, int target, int* nw, int* nh) {
   }
 }
 
-// Bilinear resize HWC u8 → normalized float32 written into the padded
-// target canvas (half-pixel centers, edges clamped).
+// ---- PIL-convention BICUBIC resampling ----
+//
+// ImageOps.contain (the reference's resize, demo.py:39-43) uses PIL's
+// default BICUBIC resample: a separable convolution whose support widens
+// with the downscale factor (area-average-like when shrinking — NOT naive
+// 4-tap bicubic interpolation), with per-output-pixel normalized weights,
+// run horizontally into a uint8 intermediate and then vertically (each
+// pass rounds+clips to uint8 like PIL's 8-bit path). Matching this keeps
+// the native loader's tensors within 1/255 of the PIL path — the earlier
+// bilinear version diverged by several levels per pixel, enough to move
+// meshes in a real-weight parity check.
+
+inline double bicubic_kernel(double x) {
+  // Catmull-Rom (a = -0.5), PIL's "BICUBIC"
+  const double a = -0.5;
+  if (x < 0) x = -x;
+  if (x < 1.0) return ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0;
+  if (x < 2.0) return (((x - 5.0) * x + 8.0) * x - 4.0) * a;
+  return 0.0;
+}
+
+struct AxisWeights {
+  std::vector<int> first;              // per out pixel: first source index
+  std::vector<std::vector<double>> k;  // per out pixel: normalized weights
+};
+
+AxisWeights build_axis_weights(int in_size, int out_size) {
+  AxisWeights ax;
+  ax.first.resize(out_size);
+  ax.k.resize(out_size);
+  double scale = (double)in_size / out_size;
+  double filterscale = scale < 1.0 ? 1.0 : scale;
+  double support = 2.0 * filterscale;  // bicubic support = 2
+  for (int xx = 0; xx < out_size; ++xx) {
+    double center = (xx + 0.5) * scale;
+    int xmin = (int)(center - support + 0.5);
+    if (xmin < 0) xmin = 0;
+    int xmax = (int)(center + support + 0.5);
+    if (xmax > in_size) xmax = in_size;
+    ax.first[xx] = xmin;
+    auto& k = ax.k[xx];
+    k.resize(xmax - xmin);
+    double ww = 0.0;
+    for (int x = 0; x < xmax - xmin; ++x) {
+      double w = bicubic_kernel((x + xmin - center + 0.5) / filterscale);
+      k[x] = w;
+      ww += w;
+    }
+    if (ww != 0.0)
+      for (auto& w : k) w /= ww;
+  }
+  return ax;
+}
+
+inline uint8_t clip8_round(double v) {
+  // PIL's fixed-point rounding is (ss + half) >> bits == floor(v + 0.5)
+  long r = (long)std::floor(v + 0.5);
+  if (r < 0) return 0;
+  if (r > 255) return 255;
+  return (uint8_t)r;
+}
+
+// Contain-resize (PIL BICUBIC) + centered zero-pad + normalize into dst.
 void resize_normalize_into(const ImageU8& img, int target, float* dst,
                            bool imagenet_norm) {
   int nw, nh;
   contain_size(img.w, img.h, target, &nw, &nh);
   const int off_x = (target - nw) / 2;
   const int off_y = (target - nh) / 2;
-  memset(dst, 0, sizeof(float) * target * target * 3);
   // zero-padding corresponds to pixel value 0 → normalized (0-mean)/std
-  if (imagenet_norm) {
-    for (int y = 0; y < target; ++y) {
-      for (int x = 0; x < target; ++x) {
-        float* px = dst + (size_t(y) * target + x) * 3;
-        px[0] = (0.f - kMean[0]) / kStd[0];
-        px[1] = (0.f - kMean[1]) / kStd[1];
-        px[2] = (0.f - kMean[2]) / kStd[2];
+  for (int c = 0; c < 3; ++c) {
+    float pad = imagenet_norm ? (0.f - kMean[c]) / kStd[c] : 0.f;
+    for (size_t i = c; i < size_t(target) * target * 3; i += 3) dst[i] = pad;
+  }
+
+  // horizontal pass: [h, w] → [h, nw], uint8 intermediate like PIL
+  AxisWeights axx = build_axis_weights(img.w, nw);
+  std::vector<uint8_t> tmp(size_t(img.h) * nw * 3);
+  for (int y = 0; y < img.h; ++y) {
+    const uint8_t* row = img.data.data() + size_t(y) * img.w * 3;
+    uint8_t* out = tmp.data() + size_t(y) * nw * 3;
+    for (int x = 0; x < nw; ++x) {
+      const auto& k = axx.k[x];
+      int x0 = axx.first[x];
+      double s0 = 0, s1 = 0, s2 = 0;
+      for (size_t i = 0; i < k.size(); ++i) {
+        const uint8_t* p = row + size_t(x0 + i) * 3;
+        s0 += k[i] * p[0];
+        s1 += k[i] * p[1];
+        s2 += k[i] * p[2];
       }
+      out[x * 3 + 0] = clip8_round(s0);
+      out[x * 3 + 1] = clip8_round(s1);
+      out[x * 3 + 2] = clip8_round(s2);
     }
   }
+
+  // vertical pass: [h, nw] → [nh, nw], rounded to uint8 then normalized
+  AxisWeights axy = build_axis_weights(img.h, nh);
   for (int y = 0; y < nh; ++y) {
-    double sy = (y + 0.5) * (double)img.h / nh - 0.5;
-    int y0 = (int)sy;
-    if (sy < 0) { sy = 0; y0 = 0; }
-    if (y0 > img.h - 1) y0 = img.h - 1;
-    int y1 = y0 + 1 > img.h - 1 ? img.h - 1 : y0 + 1;
-    float wy = (float)(sy - y0);
+    const auto& k = axy.k[y];
+    int y0 = axy.first[y];
     for (int x = 0; x < nw; ++x) {
-      double sx = (x + 0.5) * (double)img.w / nw - 0.5;
-      int x0 = (int)sx;
-      if (sx < 0) { sx = 0; x0 = 0; }
-      if (x0 > img.w - 1) x0 = img.w - 1;
-      int x1 = x0 + 1 > img.w - 1 ? img.w - 1 : x0 + 1;
-      float wx = (float)(sx - x0);
-      const uint8_t* p00 = img.data.data() + (size_t(y0) * img.w + x0) * 3;
-      const uint8_t* p01 = img.data.data() + (size_t(y0) * img.w + x1) * 3;
-      const uint8_t* p10 = img.data.data() + (size_t(y1) * img.w + x0) * 3;
-      const uint8_t* p11 = img.data.data() + (size_t(y1) * img.w + x1) * 3;
-      float* out = dst + (size_t(y + off_y) * target + (x + off_x)) * 3;
-      for (int c = 0; c < 3; ++c) {
-        float v = (1 - wy) * ((1 - wx) * p00[c] + wx * p01[c]) +
-                  wy * ((1 - wx) * p10[c] + wx * p11[c]);
-        v /= 255.f;
-        out[c] = imagenet_norm ? (v - kMean[c]) / kStd[c] : v;
+      double s0 = 0, s1 = 0, s2 = 0;
+      for (size_t i = 0; i < k.size(); ++i) {
+        const uint8_t* p = tmp.data() + (size_t(y0 + i) * nw + x) * 3;
+        s0 += k[i] * p[0];
+        s1 += k[i] * p[1];
+        s2 += k[i] * p[2];
       }
+      float* out = dst + (size_t(y + off_y) * target + (x + off_x)) * 3;
+      double v[3] = {clip8_round(s0) / 255.0, clip8_round(s1) / 255.0,
+                     clip8_round(s2) / 255.0};
+      for (int c = 0; c < 3; ++c)
+        out[c] = imagenet_norm ? (float)((v[c] - kMean[c]) / kStd[c])
+                               : (float)v[c];
     }
   }
 }
@@ -241,7 +371,15 @@ struct Loader {
     while (!stop.load()) {
       int idx = next_idx.fetch_add(1);
       if (idx >= (int)paths.size()) break;
-      ImageU8 img = load_file(paths[idx].c_str());
+      // exceptions (bad_alloc on decompression bombs, …) must NOT escape
+      // the thread — that would std::terminate the whole Python process;
+      // the loader contract encodes per-file failure as index -(i+1)
+      ImageU8 img;
+      try {
+        img = load_file(paths[idx].c_str());
+      } catch (...) {
+        img.ok = false;
+      }
       std::vector<float> out(size_t(img_size) * img_size * 3, 0.f);
       if (img.ok) resize_normalize_into(img, img_size, out.data(), imagenet_norm);
       std::unique_lock<std::mutex> lk(mu);
@@ -339,17 +477,25 @@ int mh_preprocess_pixels(const uint8_t* pixels, int h, int w, int img_size,
 }
 
 // Decode only: returns w/h via out params; writes RGB u8 into dst if
-// dst_capacity is large enough. Call with dst=null to query the size.
+// dst_capacity is large enough. Call with dst=null to query the size —
+// that path reads only the image HEADER (no scanline decode).
 int mh_decode_file(const char* path, int* out_h, int* out_w, uint8_t* dst,
                    int64_t dst_capacity) {
+  if (dst == nullptr) {
+    std::vector<uint8_t> buf;
+    if (!read_file_bytes(path, &buf)) return 0;
+    int w = 0, h = 0;
+    if (!decode_dims(buf.data(), buf.size(), &w, &h)) return 0;
+    *out_h = h;
+    *out_w = w;
+    return 1;
+  }
   ImageU8 img = load_file(path);
   if (!img.ok) return 0;
   *out_h = img.h;
   *out_w = img.w;
-  if (dst != nullptr) {
-    if ((int64_t)img.data.size() > dst_capacity) return 0;
-    memcpy(dst, img.data.data(), img.data.size());
-  }
+  if ((int64_t)img.data.size() > dst_capacity) return 0;
+  memcpy(dst, img.data.data(), img.data.size());
   return 1;
 }
 
@@ -381,8 +527,7 @@ int mh_loader_next(void* handle, float* dst) {
   lk.unlock();
   memcpy(dst, item.second.data(),
          sizeof(float) * L->img_size * L->img_size * 3);
-  int idx = item.first;
-  return idx >= 0 ? idx : idx;  // negative encodes decode failure
+  return item.first;  // negative -(i+1) encodes decode failure for i
 }
 
 int mh_loader_total(void* handle) {

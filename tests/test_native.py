@@ -46,8 +46,28 @@ def test_preprocess_matches_python_path():
     raw = native.decode_file(path)
     ours = native.preprocess_file(path, 128)
     ref = normalize_nhwc(resize_pad_numpy(raw, 128))
-    # same resize convention (bilinear half-pixel) → should be close
-    assert np.abs(ours - ref).mean() < 0.05
+    # same PIL-BICUBIC convention → ≤1 uint8 level ≈ 1/255/0.225 normalized
+    assert np.abs(ours - ref).max() < 0.018
+
+
+def test_preprocess_matches_pil_bicubic():
+    """The native resample must match PIL's actual ImageOps.contain
+    (default BICUBIC) within one uint8 level — the reference's demo
+    pipeline (demo.py:39-43) IS that PIL path, so this is the real-weight
+    parity requirement for the prefetch loader."""
+    from PIL import Image, ImageOps
+
+    from multihmr_tpu.io.preprocessing import normalize_nhwc
+
+    path = _any_jpg()
+    S = 160
+    pil = Image.open(path).convert("RGB")
+    ref = normalize_nhwc(
+        np.asarray(ImageOps.pad(ImageOps.contain(pil, (S, S)), size=(S, S)))
+    )
+    ours = native.preprocess_file(path, S)
+    assert np.abs(ours - ref).max() < 0.018
+    assert np.abs(ours - ref).mean() < 1e-3
 
 
 def test_native_loader_yields_all():

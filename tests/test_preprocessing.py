@@ -35,3 +35,22 @@ def test_camera_parameters_and_rescale():
     np.testing.assert_allclose(K_full[0, 0, 2], 640)
     np.testing.assert_allclose(K_full[0, 1, 2], 360)
     np.testing.assert_allclose(K_full[0, 0, 0], K[0, 0, 0] * 1280 / 672)
+
+
+def test_resize_pad_numpy_matches_pil_bicubic(rng):
+    """The no-PIL numpy fallback implements PIL's BICUBIC resample (the
+    reference's ImageOps.contain default) — max one uint8 level apart
+    (fixed-point vs float rounding ties)."""
+    from PIL import Image, ImageOps
+
+    for h, w in [(480, 640), (333, 517), (1000, 250), (64, 64)]:
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        S = 128
+        ref = np.asarray(
+            ImageOps.pad(
+                ImageOps.contain(Image.fromarray(img), (S, S)), size=(S, S)
+            )
+        ).astype(np.int32)
+        ours = resize_pad_numpy(img, S).astype(np.int32)
+        assert np.abs(ref - ours).max() <= 1
+        assert np.abs(ref - ours).mean() < 0.02

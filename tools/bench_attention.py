@@ -30,8 +30,16 @@ def main():
     import jax
 
     if jax.default_backend() in ("tpu", "axon"):
-        jax.config.update("jax_compilation_cache_dir", ".jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # version-keyed cache (NOT a raw jax_compilation_cache_dir: stale
+        # unkeyed AOT entries die with libtpu version mismatches after an
+        # upgrade — see utils/cache.py), anchored at the repo root so the
+        # tool shares bench.py's warm cache from any cwd
+        from multihmr_tpu.utils.cache import enable_persistent_cache
+
+        enable_persistent_cache(
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), ".jax_cache")
+        )
     import jax.numpy as jnp
 
     from multihmr_tpu.ops.attention import flash_attention_t

@@ -160,7 +160,7 @@ def probe_hierarchy(source, neutral_phen, tol=1e-6):
 
 
 def probe_lbs_weights(
-    source, v0, S, probe_coeffs, neutral_phen, n_poses=80, rng=None, chunk_v=2048,
+    source, v0, S, neutral_phen, n_poses=80, rng=None, chunk_v=2048,
     ridge=1e-8,
 ):
     """Per-vertex ridge least squares for skinning weights.
@@ -226,7 +226,7 @@ def convert(source, knots, rng=None, n_poses=80, validate_n=8, tol=2e-4):
     print("[convert_anny] probing hierarchy...")
     parents = probe_hierarchy(source, neutral)
     print("[convert_anny] probing skinning weights...")
-    lbs_w = probe_lbs_weights(source, v0, S, pc, neutral, n_poses=n_poses, rng=rng)
+    lbs_w = probe_lbs_weights(source, v0, S, neutral, n_poses=n_poses, rng=rng)
 
     V = v0.shape[0]
     C = S.shape[-1]

@@ -55,6 +55,7 @@ def main():
 
     worst = 0.0
     n_imgs = 0
+    count_mismatches = 0
     for name in sorted(os.listdir(args.img_folder)):
         if not name.lower().endswith((".jpg", ".jpeg", ".png")):
             continue
@@ -71,6 +72,11 @@ def main():
         n_ref = len([k for k in ref.files if k.startswith("v3d_")])
         print(f"{name}: ours {len(persons)} persons, reference {n_ref}")
         n_imgs += 1
+        if len(persons) != n_ref:
+            # a count mismatch IS a parity failure — without this, a model
+            # detecting 0 people would sail past the PVE gate untested
+            count_mismatches += 1
+            print(f"  [FAIL] person-count mismatch ({len(persons)} vs {n_ref})")
         for i in range(min(len(persons), n_ref)):
             v_ref = ref[f"v3d_{i}"]
             v_ours = np.asarray(persons[i]["v3d"])
@@ -89,8 +95,11 @@ def main():
     if n_imgs == 0:
         print("no dumps compared — provide --reference_dumps produced from the torch side")
         sys.exit(2)
-    print(f"\nmax PVE delta: {worst:.3f} mm (tolerance {args.tol_mm})")
-    sys.exit(0 if worst < args.tol_mm else 1)
+    print(
+        f"\nmax PVE delta: {worst:.3f} mm (tolerance {args.tol_mm}); "
+        f"{count_mismatches} image(s) with person-count mismatch"
+    )
+    sys.exit(0 if worst < args.tol_mm and count_mismatches == 0 else 1)
 
 
 if __name__ == "__main__":
