@@ -31,7 +31,7 @@ from multihmr_tpu.utils.cache import enable_persistent_cache
 # Persistent compilation cache: the flagship program is large and the remote
 # TPU compile is slow — cache hits make reruns start in seconds. Keyed by the
 # libtpu build so stale AOT entries are never loaded after an upgrade.
-enable_persistent_cache(os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+enable_persistent_cache()  # repo-root .jax_cache
 
 import jax.numpy as jnp
 

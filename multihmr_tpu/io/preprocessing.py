@@ -29,7 +29,7 @@ except ImportError:  # pragma: no cover
 
 def contain_size(w: int, h: int, target: int) -> Tuple[int, int]:
     """ImageOps.contain semantics: fit inside (target, target) preserving
-    aspect ratio (round-half-up like PIL)."""
+    aspect ratio (Python round() = half-to-even, like PIL)."""
     if w >= h:
         nw = target
         nh = max(1, int(round(h * target / w)))
@@ -90,7 +90,9 @@ def resize_pad_numpy(img: np.ndarray, img_size: int) -> np.ndarray:
         np.einsum("oh,hwc->owc", _resample_matrix(h, nh), tmp.astype(np.float64))
     )
     out = np.zeros((img_size, img_size, img.shape[2]), img.dtype)
-    oy, ox = (img_size - nh) // 2, (img_size - nw) // 2
+    # PIL ImageOps.pad centers with round(diff*0.5) (half-to-even) — NOT
+    # floor: for diff ≡ 3 (mod 4) the two differ by one row/column
+    oy, ox = round((img_size - nh) * 0.5), round((img_size - nw) * 0.5)
     out[oy : oy + nh, ox : ox + nw] = resized
     return out
 

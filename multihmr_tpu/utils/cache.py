@@ -17,13 +17,21 @@ import os
 import jax
 
 
-def enable_persistent_cache(root: str) -> str | None:
+def enable_persistent_cache(root: str | None = None) -> str | None:
     """Enable the persistent compilation cache under ``root`` for TPU backends.
+
+    ``root=None`` → ``<repo>/.jax_cache`` (derived from this package's path),
+    so tools share bench.py's warm cache regardless of cwd.
 
     Returns the cache directory, or None if the backend is not a TPU (CPU AOT
     entries are machine-feature-pinned and only emit loader warnings) or the
     backend cannot be initialized.
     """
+    if root is None:
+        root = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), ".jax_cache",
+        )
     try:
         dev = jax.devices()[0]
     except Exception:  # pragma: no cover - no backend at all

@@ -217,15 +217,18 @@ ImageU8 load_file(const char* path) {
 
 // -------- contain-resize + pad + normalize --------
 
-// PIL ImageOps.contain sizing (round half up on the scaled side).
+// PIL ImageOps.contain sizing: Python round() = ROUND HALF TO EVEN on the
+// scaled side (nearbyint under the default FP rounding mode); naive +0.5
+// half-up differs at exact .5 ties (e.g. 250x1000 → 674: 168.5 → 168, not
+// 169) and changes the whole canvas geometry.
 void contain_size(int w, int h, int target, int* nw, int* nh) {
   if (w >= h) {
     *nw = target;
-    *nh = (int)((double)h * target / w + 0.5);
+    *nh = (int)std::nearbyint((double)h * target / w);
     if (*nh < 1) *nh = 1;
   } else {
     *nh = target;
-    *nw = (int)((double)w * target / h + 0.5);
+    *nw = (int)std::nearbyint((double)w * target / h);
     if (*nw < 1) *nw = 1;
   }
 }
@@ -297,8 +300,10 @@ void resize_normalize_into(const ImageU8& img, int target, float* dst,
                            bool imagenet_norm) {
   int nw, nh;
   contain_size(img.w, img.h, target, &nw, &nh);
-  const int off_x = (target - nw) / 2;
-  const int off_y = (target - nh) / 2;
+  // PIL ImageOps.pad centers with round(diff*0.5) HALF-TO-EVEN — truncating
+  // division shifts the image one row/column for diff ≡ 3 (mod 4)
+  const int off_x = (int)std::nearbyint((target - nw) * 0.5);
+  const int off_y = (int)std::nearbyint((target - nh) * 0.5);
   // zero-padding corresponds to pixel value 0 → normalized (0-mean)/std
   for (int c = 0; c < 3; ++c) {
     float pad = imagenet_norm ? (0.f - kMean[c]) / kStd[c] : 0.f;
@@ -373,19 +378,25 @@ struct Loader {
       if (idx >= (int)paths.size()) break;
       // exceptions (bad_alloc on decompression bombs, …) must NOT escape
       // the thread — that would std::terminate the whole Python process;
-      // the loader contract encodes per-file failure as index -(i+1)
-      ImageU8 img;
+      // the loader contract encodes per-file failure as index -(i+1).
+      // The guard covers decode AND resize (its h×nw intermediate can be
+      // the allocation that actually throws).
+      bool ok = false;
+      std::vector<float> out;
       try {
-        img = load_file(paths[idx].c_str());
+        ImageU8 img = load_file(paths[idx].c_str());
+        out.assign(size_t(img_size) * img_size * 3, 0.f);
+        if (img.ok) {
+          resize_normalize_into(img, img_size, out.data(), imagenet_norm);
+          ok = true;
+        }
       } catch (...) {
-        img.ok = false;
+        out.assign(size_t(img_size) * img_size * 3, 0.f);
       }
-      std::vector<float> out(size_t(img_size) * img_size * 3, 0.f);
-      if (img.ok) resize_normalize_into(img, img_size, out.data(), imagenet_norm);
       std::unique_lock<std::mutex> lk(mu);
       cv_space.wait(lk, [&] { return ready.size() < max_queue || stop.load(); });
       if (stop.load()) break;
-      ready.emplace(img.ok ? idx : -(idx + 1), std::move(out));
+      ready.emplace(ok ? idx : -(idx + 1), std::move(out));
       cv_ready.notify_one();
     }
   }

@@ -50,24 +50,33 @@ def test_preprocess_matches_python_path():
     assert np.abs(ours - ref).max() < 0.018
 
 
-def test_preprocess_matches_pil_bicubic():
+def test_preprocess_matches_pil_bicubic(tmp_path):
     """The native resample must match PIL's actual ImageOps.contain
     (default BICUBIC) within one uint8 level — the reference's demo
     pipeline (demo.py:39-43) IS that PIL path, so this is the real-weight
-    parity requirement for the prefetch loader."""
+    parity requirement for the prefetch loader. Sizes include an odd pad
+    diff ≡ 3 (mod 4) (PIL centers with round-half-even, not floor) and a
+    .5 contain-rounding tie."""
     from PIL import Image, ImageOps
 
     from multihmr_tpu.io.preprocessing import normalize_nhwc
 
-    path = _any_jpg()
-    S = 160
-    pil = Image.open(path).convert("RGB")
-    ref = normalize_nhwc(
-        np.asarray(ImageOps.pad(ImageOps.contain(pil, (S, S)), size=(S, S)))
-    )
-    ours = native.preprocess_file(path, S)
-    assert np.abs(ours - ref).max() < 0.018
-    assert np.abs(ours - ref).mean() < 1e-3
+    rng = np.random.default_rng(5)
+    cases = [(_any_jpg(), 160)]
+    for (h, w, S) in [(1000, 1024, 128), (250, 1000, 674)]:
+        p = str(tmp_path / f"{h}x{w}.png")
+        Image.fromarray(
+            rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        ).save(p)
+        cases.append((p, S))
+    for path, S in cases:
+        pil = Image.open(path).convert("RGB")
+        ref = normalize_nhwc(
+            np.asarray(ImageOps.pad(ImageOps.contain(pil, (S, S)), size=(S, S)))
+        )
+        ours = native.preprocess_file(path, S)
+        assert np.abs(ours - ref).max() < 0.018, (path, S)
+        assert np.abs(ours - ref).mean() < 1e-3
 
 
 def test_native_loader_yields_all():

@@ -43,7 +43,9 @@ def test_resize_pad_numpy_matches_pil_bicubic(rng):
     (fixed-point vs float rounding ties)."""
     from PIL import Image, ImageOps
 
-    for h, w in [(480, 640), (333, 517), (1000, 250), (64, 64)]:
+    # incl. odd pad diff ≡ 3 (mod 4) (1000x1024@128 → diff 3: PIL centers
+    # with round-half-even, not floor) and a .5 contain tie (250x1000@674)
+    for h, w in [(480, 640), (333, 517), (1000, 250), (64, 64), (1000, 1024)]:
         img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
         S = 128
         ref = np.asarray(

@@ -39,10 +39,7 @@ def main():
         # tool shares bench.py's warm cache from any cwd
         from multihmr_tpu.utils.cache import enable_persistent_cache
 
-        enable_persistent_cache(
-            os.path.join(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__))), ".jax_cache")
-        )
+        enable_persistent_cache()  # repo-root .jax_cache
     import jax.numpy as jnp
 
     from multihmr_tpu.factory import build_model

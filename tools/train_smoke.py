@@ -36,9 +36,7 @@ def main():
 
     from multihmr_tpu.utils.cache import enable_persistent_cache
 
-    enable_persistent_cache(
-        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
-    )
+    enable_persistent_cache()  # repo-root .jax_cache
 
     import dataclasses
     import numpy as np
