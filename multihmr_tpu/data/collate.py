@@ -26,7 +26,11 @@ def resize_with_K(
     ratio = nw / w  # == nh / h up to rounding
     out = resize_pad_numpy(img, img_size)
     K = K.copy().astype(np.float32)
-    off_x, off_y = (img_size - nw) // 2, (img_size - nh) // 2
+    # Must match resize_pad_numpy's centering exactly: PIL ImageOps.pad uses
+    # round(diff*0.5) (half-to-even), not floor — for pad diff ≡ 3 (mod 4)
+    # the two differ by one pixel, which would put K's principal point one
+    # row/column off from where the image actually landed.
+    off_x, off_y = round((img_size - nw) * 0.5), round((img_size - nh) * 0.5)
     K[0, 0] *= ratio
     K[1, 1] *= ratio
     K[0, 2] = K[0, 2] * ratio + off_x

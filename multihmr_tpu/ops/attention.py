@@ -186,11 +186,15 @@ def _choose_fwd_blocks(N, block_q=None, block_kv=None, pad_to=None,
         Np, bq = pad_to, block_q
     else:
         Np, bq = _pad_and_block(N, block_q or 512)
-    cap = max(_STEP_BYTES // (4 * bq), 8)
+    cap = max(_STEP_BYTES // (4 * bq), sub_align)
     if block_kv:
         cap = min(cap, block_kv)
+    # Fallbacks (bq, Np) are always 128-multiples via _pad_and_block, so they
+    # satisfy any sub_align; the divisor search must too — when kv is a LANE
+    # dim (sub_align=128) a non-128-multiple bkv would mis-tile the lane
+    # slices (e.g. Np=4992 has divisor 2496, valid only for sublane kv).
     bkv = bq if Np % bq == 0 else Np
-    for b in range(8, min(Np, cap) + 1, 8):
+    for b in range(sub_align, min(Np, cap) + 1, sub_align):
         if Np % b == 0:
             bkv = b
     nsub = 1

@@ -126,6 +126,15 @@ class DynamicBatcher:
     def close(self):
         self._stop.set()
         self._worker.join(timeout=5)
+        # Fail any requests still queued (never dispatched): their submit()
+        # callers would otherwise block for the full timeout during shutdown.
+        while True:
+            try:
+                req = self._q.get_nowait()
+            except queue.Empty:
+                break
+            req.error = RuntimeError("batcher closed")
+            req.done.set()
 
     # --------------------------------------------------------------- worker
     def _collect(self, first_timeout: float = 0.1) -> List[_Request]:

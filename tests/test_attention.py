@@ -53,6 +53,16 @@ def test_choose_fwd_blocks():
     # 1288_L: 8704 does NOT fit one step -> multiple kv steps w/ corrections
     Np, bq, bkv, nsub = _choose_fwd_blocks(8465)
     assert Np == 8704 and Np // bkv > 1
+    # transposed stream (kv is a LANE dim): every block must be 128-aligned,
+    # including off-ViT lengths like 4866 (Np=4992 has the 8-aligned divisor
+    # 2496 that would mis-tile lane slices)
+    for n in (577, 2305, 4097, 8465, 4866, 4993, 65, 129):
+        Np, bq, bkv, nsub = _choose_fwd_blocks(n, sub_align=128)
+        assert Np % bq == 0 and Np % bkv == 0
+        assert bkv % 128 == 0 and (bkv % nsub == 0 and (bkv // nsub) % 128 == 0)
+    # shipped ViT shapes must be unchanged by the alignment fix
+    assert _choose_fwd_blocks(4097, sub_align=128)[:3] == (4224, 384, 4224)
+    assert _choose_fwd_blocks(8465, sub_align=128)[2] % 128 == 0
 
 
 @pytest.mark.parametrize("N", [256, 257, 1200])  # 1200: multi-kv-step path

@@ -9,6 +9,7 @@ batcher actually COALESCED concurrent requests (batch sizes > 1), and
 import io
 import json
 import threading
+import time
 import urllib.error
 import urllib.request
 
@@ -103,6 +104,44 @@ def test_batcher_error_propagates():
     with pytest.raises(RuntimeError, match="device exploded"):
         batcher.submit(np.zeros((8, 8, 3), np.float32), np.eye(3))
     batcher.close()
+
+
+def test_batcher_close_fails_queued_requests():
+    """Requests still queued at close() must be failed promptly, not left to
+    block their submit() callers until the full request timeout."""
+    release = threading.Event()
+
+    def slow_batch_fn(x, K):
+        release.wait(10)
+        return x
+
+    batcher = DynamicBatcher(slow_batch_fn, lambda o, n: [None] * n,
+                             max_batch=1, max_delay_ms=0.0)
+    errors = {}
+
+    def client(i):
+        try:
+            batcher.submit(np.zeros((4, 4, 3), np.float32), np.eye(3),
+                           timeout=30.0)
+        except BaseException as e:
+            errors[i] = e
+
+    # first request occupies the worker inside slow_batch_fn; the rest queue
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    time.sleep(0.3)  # let the worker pick up request 0 and block
+    t0 = time.perf_counter()
+    closer = threading.Thread(target=batcher.close)
+    closer.start()
+    time.sleep(0.2)
+    release.set()  # un-block the in-flight batch so close() can join
+    closer.join(10)
+    for t in threads:
+        t.join(10)
+    assert time.perf_counter() - t0 < 10  # nowhere near the 30 s timeout
+    # the queued (never-dispatched) requests got a prompt shutdown error
+    assert sum(isinstance(e, RuntimeError) for e in errors.values()) >= 2, errors
 
 
 def test_http_server_end_to_end():

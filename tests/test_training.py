@@ -67,6 +67,25 @@ def test_resize_with_K(rng):
     np.testing.assert_allclose(K2[1, 2], 50 * 0.32 + 16, rtol=1e-4)
 
 
+def test_resize_with_K_centering_matches_image():
+    """K's pad offset must use the same half-to-even rounding as the pixel
+    placement (resize_pad_numpy) — for pad diff ≡ 3 (mod 4) floor and round
+    differ by one row, which would skew supervision by a pixel."""
+    # 128×114 → contain in 64: nh = 57, pad diff = 7 → floor gives 3,
+    # round(3.5) gives 4 (half-to-even) — the divergent case.
+    img = np.zeros((114, 128, 3), np.uint8)
+    img[:, :] = 255  # solid so the placed rows are detectable
+    K = np.array([[300.0, 0, 64], [0, 300, 57], [0, 0, 1]], np.float32)
+    out, K2 = resize_with_K(img, K, 64)
+    rows = np.nonzero(out[:, 0, 0])[0]
+    oy = int(rows[0])
+    assert oy == round((64 - 57) * 0.5) == 4  # half-to-even, not floor (=3)
+    ratio = 64 / 128
+    np.testing.assert_allclose(K2[1, 2], 57 * ratio + oy, rtol=1e-5)
+    # image content occupies exactly [oy, oy+57)
+    assert rows[-1] == oy + 57 - 1
+
+
 def test_prepare_gt_targets(rng):
     model = make_model()
     cfg = model.cfg
