@@ -135,6 +135,15 @@ class MultiHMRNet(nn.Module):
         z_central = jnp.concatenate([z_central, gather_grid(z_K, det)], axis=-1)
         kv_grid = jnp.concatenate([z_grid, z_K], axis=-1)  # [B, g, g, D+99]
 
+        if self.mesh is not None:
+            # Pin the ViT→HPH boundary to batch-on-'data' so SPMD does not
+            # drag the backbone's model-axis feature sharding into the head
+            # (which it can only undo with an involuntary full remat).
+            from multihmr_tpu.parallel.sharding import constrain_batch
+
+            z_central = constrain_batch(z_central, self.mesh)
+            kv_grid = constrain_batch(kv_grid, self.mesh)
+
         # --- 2D location (reference model.py:272-275): loc = (col, row) ---
         loc = jnp.stack([det.cols, det.rows], axis=-1).astype(jnp.float32)
         loc = (loc + 0.5 + offset) * c.patch_size  # [B, K, 2]

@@ -110,16 +110,23 @@ class AnnyConfig:
 
 
 class AnnyEncoder(nn.Module):
-    """ViT + per-patch detection + FOV→K (reference multi_hmr_anny/encoder.py)."""
+    """ViT + per-patch detection + FOV→K (reference multi_hmr_anny/encoder.py).
+
+    ``mesh``/``tp_mode``: tensor/sequence-parallel attention inside the ViT,
+    same plumbing as the SMPL-X variant (models/multihmr.py MultiHMRNet).
+    """
 
     cfg: AnnyConfig
+    mesh: object = None
+    tp_mode: str = "heads"
 
     @nn.compact
     def __call__(self, x):
         c = self.cfg
         dt = jnp.dtype(c.compute_dtype)
         g = c.grid_size
-        vit = DINOv2ViT(c.vit, grid_size=g, dtype=dt, name="backbone")
+        vit = DINOv2ViT(c.vit, grid_size=g, dtype=dt,
+                        mesh=self.mesh, tp_mode=self.tp_mode, name="backbone")
         out = vit(x)
         feat = tokens_to_grid(out["patch_tokens"].astype(jnp.float32), g)  # [B,g,g,D]
         cls = out["cls_token"].astype(jnp.float32)
@@ -170,6 +177,8 @@ class AnnyHPH(nn.Module):
 
 class MultiHMRAnnyNet(nn.Module):
     cfg: AnnyConfig
+    mesh: object = None
+    tp_mode: str = "heads"
 
     @nn.compact
     def __call__(
@@ -184,7 +193,8 @@ class MultiHMRAnnyNet(nn.Module):
         c = self.cfg
         g = c.grid_size
         B = x.shape[0]
-        enc = AnnyEncoder(c, name="encoder")(x)
+        enc = AnnyEncoder(c, mesh=self.mesh, tp_mode=self.tp_mode,
+                          name="encoder")(x)
         K_regressed = enc["K"]
         K_used = K_regressed if K is None else K
 
@@ -205,6 +215,12 @@ class MultiHMRAnnyNet(nn.Module):
             ).reshape(g, g, c.xat_dim),
         ).value
         dec_emb = nn.Dense(c.xat_dim, name="dec_to_token")(enc["feat"]) + pos[None]
+        if self.mesh is not None:
+            # Pin the encoder→decoder boundary to batch-on-'data' (same
+            # involuntary-remat guard as models/multihmr.py).
+            from multihmr_tpu.parallel.sharding import constrain_batch
+
+            dec_emb = constrain_batch(dec_emb, self.mesh)
 
         queries = gather_grid(dec_emb, det)  # [B, Kcap, xat_dim]
         context = grid_to_tokens(dec_emb)  # [B, N, xat_dim]
@@ -281,9 +297,11 @@ class MultiHMRAnny:
     cfg: AnnyConfig
     body_model: AnnyModel
     person_center_idx: Optional[int] = None
+    mesh: object = None  # jax.sharding.Mesh → TP/SP attention inside the ViT
+    tp_mode: str = "heads"  # "heads" (Megatron TP) | "ring" (sequence parallel)
 
     def __post_init__(self):
-        self.net = MultiHMRAnnyNet(self.cfg)
+        self.net = MultiHMRAnnyNet(self.cfg, mesh=self.mesh, tp_mode=self.tp_mode)
         if self.person_center_idx is None:
             self.person_center_idx = self.body_model.person_center_index(
                 self.cfg.person_center

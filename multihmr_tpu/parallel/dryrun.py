@@ -117,11 +117,75 @@ def run(n_devices: int) -> None:
         )(params, x, Kb)
     assert bool(jnp.all(jnp.isfinite(out))), "non-finite ring-attention output"
 
+    # Anny variant on the same mesh: TP attention threads through
+    # AnnyEncoder exactly like the SMPL-X net (reference
+    # multi_hmr_anny/multi_hmr.py:98-246 has no parallel path at all).
+    from multihmr_tpu.bodymodel.anny import synthetic_anny_model, NUM_BONES
+    from multihmr_tpu.models.multihmr_anny import AnnyConfig, MultiHMRAnny
+
+    anny_cfg = AnnyConfig(
+        img_size=112,
+        xat_dim=64,
+        xat_depth=2,
+        xat_heads=4,
+        xat_dim_head=16,
+        xat_mlp_dim=128,
+        max_people=4,
+        compute_dtype="bfloat16",
+        vit_override=ViTConfig(embed_dim=64, depth=2, num_heads=4),
+    )
+    anny_bm = synthetic_anny_model(num_vertices=64, num_bones=NUM_BONES)
+    anny = MultiHMRAnny(anny_cfg, anny_bm, person_center_idx=5,
+                        mesh=mesh, tp_mode="heads")
+    anny_params = anny.init_params(jax.random.PRNGKey(1), batch_size=1)
+    anny_params = jax.device_put(
+        anny_params,
+        param_shardings(mesh, anny_params, fsdp=True, fsdp_min_size=1024),
+    )
+    with mesh:
+        anny_out = jax.jit(lambda p, x: anny.forward(p, x)["v3d"])(
+            anny_params, x
+        )
+    assert bool(jnp.all(jnp.isfinite(anny_out))), "non-finite Anny TP output"
+
+    # Flagship-geometry TP check: real ViT-L HEAD COUNT (16) over model
+    # axes 2 and 4 — the 4-head toy above cannot catch head-count
+    # divisibility or head-shard reshard bugs for the real backbone.
+    for mp in (2, 4):
+        if n_devices % mp != 0:
+            continue
+        gmesh = make_mesh(n_devices, model_parallel=mp, devices=devices)
+        gcfg = ModelConfig(
+            backbone="dinov2_vitl14",  # real patch size/head count source
+            img_size=224,  # g=16 → 257 tokens: real multi-block grid, cheap
+            max_people=4,
+            person_center="head",
+            compute_dtype="bfloat16",
+            vit_override=ViTConfig(embed_dim=256, depth=2, num_heads=16),
+        )
+        gmodel = MultiHMR(cfg=gcfg, body_model=bm, mesh=gmesh, tp_mode="heads")
+        gparams = gmodel.init_params(jax.random.PRNGKey(2), batch_size=1)
+        gparams = jax.device_put(gparams, param_shardings(gmesh, gparams))
+        gx = jax.device_put(
+            rng.normal(size=(n_devices // mp, 224, 224, 3)).astype(np.float32),
+            batch_sharding(gmesh),
+        )
+        gK = jax.device_put(
+            np.broadcast_to(Kmat, (n_devices // mp, 3, 3)).copy(),
+            batch_sharding(gmesh),
+        )
+        with gmesh:
+            gout = jax.jit(
+                lambda p, x, K: gmodel.forward(p, x, K)["v3d"]
+            )(gparams, gx, gK)
+        assert bool(jnp.all(jnp.isfinite(gout))), f"non-finite heads16/mp{mp}"
+
     print(
         f"dryrun_multichip OK: {n_devices} devices "
         f"(data={data_size}, model={model_parallel}), TP+FSDP train-step "
         f"loss={total:.4f} ({n_sharded} sharded moment leaves), "
-        f"SP(ring) forward finite"
+        f"SP(ring) forward finite, Anny TP forward finite, "
+        f"heads=16 TP forward finite (model=2,4)"
     )
 
 

@@ -105,6 +105,22 @@ def param_shardings(mesh: Mesh, params, fsdp: bool = False,
     return jax.tree_util.tree_map_with_path(assign, params)
 
 
+def constrain_batch(x, mesh: Optional[Mesh]):
+    """``with_sharding_constraint`` to batch-on-'data', all other dims
+    replicated; no-op without a mesh.
+
+    Used at the ViT→HPH boundary: without it, SPMD propagation can carry the
+    ViT's model-axis feature sharding into the head's small [B, K, C]
+    tensors, then flip them back to batch sharding via an involuntary full
+    rematerialization (replicate + repartition) — a real reshard on
+    hardware. Pinning the boundary makes the transition explicit and local.
+    """
+    if mesh is None:
+        return x
+    spec = P(*(("data",) + (None,) * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
 def batch_sharding(mesh: Mesh, pytree=None):
     """Shard the leading batch axis over 'data'."""
     s = NamedSharding(mesh, P("data"))
