@@ -7,6 +7,7 @@ with a sane interface instead of ``exec(sys.argv[1])``:
     python -m multihmr_tpu.cli.data create_annots --dataset ehf
     python -m multihmr_tpu.cli.data visualize --dataset bedlam --index 50
     python -m multihmr_tpu.cli.data dataloader --dataset bedlam --n 100
+    python -m multihmr_tpu.cli.data create_jpeg --root_dir /data/bedlam --target_size 512
 """
 
 from __future__ import annotations
@@ -82,6 +83,55 @@ def cmd_visualize(args):
     print(f"saved {out_fn} ({len(verts_list)} humans)")
 
 
+def create_jpeg(root_dir: str, target_size: int | None = 512,
+                log_freq: int = 1000, log_fn=print) -> int:
+    """Convert every ``.png`` under ``root_dir`` to a JPEG, downscaling the
+    long side to ``target_size`` (reference datasets/bedlam.py:449-485 —
+    BEDLAM ships 1280×720 PNGs; training reads the smaller JPEGs).
+
+    Output naming matches the reference: ``name_<target>.jpg`` next to the
+    source when resizing, ``name.jpg`` when ``target_size`` is None.
+    Returns the number of images converted.
+    """
+    import os
+
+    from PIL import Image
+
+    tot = 0
+    for dirpath, _dirnames, filenames in os.walk(root_dir):
+        for fn in filenames:
+            if fn[-4:] != ".png" or fn[0] == ".":
+                continue
+            img_pil = Image.open(os.path.join(dirpath, fn)).convert("RGB")
+            if target_size is not None:
+                w, h = img_pil.size
+                if w > h:
+                    img_pil = img_pil.resize(
+                        (target_size, int(h * (target_size / float(w))))
+                    )
+                else:
+                    img_pil = img_pil.resize(
+                        (int(w * (target_size / float(h))), target_size)
+                    )
+                out_path = os.path.join(
+                    dirpath, fn[:-4] + f"_{target_size}.jpg"
+                )
+            else:
+                out_path = os.path.join(dirpath, fn[:-4] + ".jpg")
+            img_pil.save(out_path)
+            tot += 1
+            if log_freq and tot % log_freq == 0:
+                log_fn(f"Converted {tot} images so far")
+    return tot
+
+
+def cmd_create_jpeg(args):
+    tot = create_jpeg(
+        args.root_dir, None if args.target_size <= 0 else args.target_size
+    )
+    print(f"converted {tot} png(s) under {args.root_dir}")
+
+
 def cmd_dataloader(args):
     """Data-loading throughput smoke test (reference datasets/bedlam.py:428-447)."""
     ds = get_dataset(args.dataset, args.img_size, training=args.training)
@@ -98,15 +148,21 @@ def cmd_dataloader(args):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("command", choices=["create_annots", "visualize", "dataloader"])
+    p.add_argument(
+        "command",
+        choices=["create_annots", "visualize", "dataloader", "create_jpeg"],
+    )
     p.add_argument("--dataset", default="ehf", choices=["bedlam", "ehf", "3dpw"])
     p.add_argument("--img_size", type=int, default=512)
     p.add_argument("--index", type=int, default=0)
     p.add_argument("--n", type=int, default=100)
     p.add_argument("--training", type=int, default=0)
+    p.add_argument("--root_dir", default=".", help="create_jpeg: tree to walk")
+    p.add_argument("--target_size", type=int, default=512,
+                   help="create_jpeg: long-side target; <=0 keeps size")
     args = p.parse_args()
     {"create_annots": cmd_create_annots, "visualize": cmd_visualize,
-     "dataloader": cmd_dataloader}[args.command](args)
+     "dataloader": cmd_dataloader, "create_jpeg": cmd_create_jpeg}[args.command](args)
 
 
 if __name__ == "__main__":

@@ -152,6 +152,20 @@ def _rasterize(
     return image, depth
 
 
+def _soften_mask(fg: np.ndarray) -> np.ndarray:
+    """Feather the foreground mask's edges (reference utils/render.py:301-310):
+    ``fg ← max(0, 2·mean3×3(fg) − 1) · fg`` — interior stays 1, boundary
+    pixels whose 3×3 neighborhood is less than half-covered fade out, so the
+    overlay blends into the background instead of a hard staircase edge."""
+    H, W = fg.shape
+    p = np.pad(fg, 1)
+    s = np.zeros_like(fg)
+    for dy in range(3):
+        for dx in range(3):
+            s += p[dy : dy + H, dx : dx + W]
+    return np.clip(s * (2.0 / 9.0) - 1.0, 0.0, None) * fg
+
+
 def render_meshes(
     img: np.ndarray,  # [H, W, 3] uint8 background
     l_mesh: Sequence[np.ndarray],
@@ -188,8 +202,8 @@ def render_meshes(
                 np.asarray(cam_param, np.float32), W, H,
                 color=colors[i % len(colors)], rgb=acc_img, depth=acc_depth,
             )
-        covered = np.isfinite(acc_depth)
-        out[covered] = alpha * acc_img[covered] + (1 - alpha) * out[covered]
+        fg = _soften_mask(np.isfinite(acc_depth).astype(np.float32))[..., None]
+        out = fg * (alpha * acc_img + (1 - alpha) * out) + (1 - fg) * out
         return (out * 255).astype(np.uint8)
 
     for i, (verts, faces) in enumerate(zip(l_mesh, l_face)):
@@ -203,8 +217,8 @@ def render_meshes(
         closer = depth < acc_depth
         acc_depth[closer] = depth[closer]
         acc_img[closer] = rgb[closer]
-    covered = np.isfinite(acc_depth)
-    out[covered] = alpha * acc_img[covered] + (1 - alpha) * out[covered]
+    fg = _soften_mask(np.isfinite(acc_depth).astype(np.float32))[..., None]
+    out = fg * (alpha * acc_img + (1 - alpha) * out) + (1 - fg) * out
     return (out * 255).astype(np.uint8)
 
 

@@ -25,29 +25,33 @@ from multihmr_tpu.ops.camera import perspective_projection
 from multihmr_tpu.bodymodel.constants import H36M_TO_J14
 
 
-def make_smplx_gt_forward(body_model, num_betas: int = 11):
+def make_smplx_gt_forward(body_model, num_betas: int = 11, capacity: int = 16):
     """GT forward for datasets that store SMPL-X parameters (BEDLAM):
     annot['humans'] entries with smplx_* keys → v3d/j3d/j2d dict.
-    The jit'd body-model forward is shared with the training path."""
+    The jit'd body-model forward is shared with the training path.
+
+    Static shapes: persons are padded to a fixed ``capacity`` (and chunked
+    when an image has more), so the forward compiles EXACTLY ONCE no matter
+    how person counts vary across the dataset — a per-count ``[P, ...]``
+    signature would pay the slow remote TPU compile for every distinct count
+    (the same [B, K]-padding idiom the rest of the framework uses; the
+    reference tolerates the dynamic shape because torch re-traces for free,
+    train.py:351-357).
+    """
     from multihmr_tpu.bodymodel.core import lbs_forward
     from multihmr_tpu.ops.rotations import rotvec_to_rotmat
 
-    # ONE jit for every person count: jax.jit keeps a per-shape executable
-    # cache internally and never evicts — an lru_cache over per-count jits
-    # would discard compiled programs once >maxsize distinct counts appear
-    # and re-pay the (slow, remote) compile on every recurrence.
+    trace_counter = {"n": 0}  # introspection for tests: executes at TRACE time
+
     @jax.jit
-    def _fwd(pose, shape, transl, K):
+    def _fwd(pose, shape, transl, K):  # fixed [capacity, ...] signature
+        trace_counter["n"] += 1
         rots = rotvec_to_rotmat(pose)
         out = lbs_forward(body_model, rots, shape)
         v3d = out["vertices"] + transl[:, None]
         j3d = out["joints"] + transl[:, None]
         j2d = perspective_projection(j3d, K[None])
         return v3d, j3d, j2d
-
-    def _fwd_for(n):
-        del n
-        return _fwd
 
     def gt_forward(annot):
         humans = annot["humans"]
@@ -59,15 +63,30 @@ def make_smplx_gt_forward(body_model, num_betas: int = 11):
                      h["smplx_left_hand_pose"], h["smplx_right_hand_pose"]], 0)
                 for h in humans
             ]
+        ).astype(np.float32)
+        shape = np.stack([h["smplx_shape"][:num_betas] for h in humans]).astype(
+            np.float32
         )
-        shape = np.stack([h["smplx_shape"][:num_betas] for h in humans])
-        transl = np.stack([h["smplx_transl"] for h in humans])
-        v3d, j3d, j2d = _fwd_for(len(humans))(
-            jnp.asarray(pose), jnp.asarray(shape), jnp.asarray(transl),
-            jnp.asarray(annot["K"]),
-        )
-        return {"v3d": np.asarray(v3d), "j3d": np.asarray(j3d), "j2d": np.asarray(j2d)}
+        transl = np.stack([h["smplx_transl"] for h in humans]).astype(np.float32)
+        P = pose.shape[0]
+        K = jnp.asarray(annot["K"])
+        chunks = []
+        for s in range(0, P, capacity):
+            n = min(capacity, P - s)
+            pad = ((0, capacity - n),) + ((0, 0),) * (pose.ndim - 1)
+            v3d, j3d, j2d = _fwd(
+                jnp.asarray(np.pad(pose[s : s + n], pad)),
+                jnp.asarray(np.pad(shape[s : s + n], ((0, capacity - n), (0, 0)))),
+                jnp.asarray(np.pad(transl[s : s + n], ((0, capacity - n), (0, 0)))),
+                K,
+            )
+            chunks.append(
+                (np.asarray(v3d)[:n], np.asarray(j3d)[:n], np.asarray(j2d)[:n])
+            )
+        v3d, j3d, j2d = (np.concatenate(parts) for parts in zip(*chunks))
+        return {"v3d": v3d, "j3d": j3d, "j2d": j2d}
 
+    gt_forward.trace_counter = trace_counter
     return gt_forward
 
 

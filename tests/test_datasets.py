@@ -206,3 +206,34 @@ def test_bedlam_dataset_end_to_end(tmp_path, rng):
     x2, annot2 = ds_train[0]
     assert x2.shape == (56, 56, 3)
     assert len(annot2["humans"]) <= n_person  # z>0.01 filter
+
+
+def test_create_jpeg_walks_and_resizes(tmp_path, rng):
+    """create_jpeg (reference datasets/bedlam.py:449-485): every non-hidden
+    .png in the tree gets a long-side-resized JPEG sibling named
+    name_<target>.jpg (or name.jpg with no resize)."""
+    from PIL import Image
+
+    from multihmr_tpu.cli.data import create_jpeg
+
+    d = tmp_path / "seq" / "png"
+    d.mkdir(parents=True)
+    Image.fromarray(
+        rng.integers(0, 255, size=(60, 120, 3), dtype=np.uint8)
+    ).save(d / "wide.png")
+    Image.fromarray(
+        rng.integers(0, 255, size=(120, 60, 3), dtype=np.uint8)
+    ).save(tmp_path / "tall.png")
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(d / ".hidden.png")
+    (d / "notes.txt").write_text("not an image")
+
+    assert create_jpeg(str(tmp_path), target_size=32, log_freq=0) == 2
+    wide = Image.open(d / "wide_32.jpg")
+    assert wide.size == (32, 16)  # long side → 32, aspect kept
+    tall = Image.open(tmp_path / "tall_32.jpg")
+    assert tall.size == (16, 32)
+    assert not (d / ".hidden_32.jpg").exists()
+
+    # no-resize mode: plain .jpg sibling, original size
+    assert create_jpeg(str(tmp_path), target_size=None, log_freq=0) == 2
+    assert Image.open(d / "wide.jpg").size == (120, 60)

@@ -93,6 +93,47 @@ def test_eval_visu_saving(tmp_path):
     assert os.path.exists(tmp_path / "visu" / "eval_0000.png")
 
 
+def test_smplx_gt_forward_single_trace():
+    """Varying GT person counts must NOT retrace the jitted body-model
+    forward: the [P, ...] signature is padded to a static capacity (and
+    chunked beyond it), so eval compiles once — each distinct-count
+    recompile would cost minutes over the remote TPU compile path."""
+    from multihmr_tpu.train.evaluate import make_smplx_gt_forward
+
+    bm = synthetic_body_model(num_vertices=64, num_joints=55, num_extra=21,
+                              num_lmk=51)  # real SMPL-X 55-rot layout
+    gt_fwd = make_smplx_gt_forward(bm, num_betas=10, capacity=4)
+    rng = np.random.default_rng(0)
+    K = np.array([[100.0, 0, 28], [0, 100.0, 28], [0, 0, 1]], np.float32)
+
+    def annot_for(P):
+        humans = []
+        for _ in range(P):
+            humans.append({
+                "smplx_root_pose": rng.normal(scale=0.1, size=(1, 3)).astype(np.float32),
+                "smplx_body_pose": rng.normal(scale=0.1, size=(21, 3)).astype(np.float32),
+                "smplx_jaw_pose": np.zeros((1, 3), np.float32),
+                "smplx_leye_pose": np.zeros((1, 3), np.float32),
+                "smplx_reye_pose": np.zeros((1, 3), np.float32),
+                "smplx_left_hand_pose": np.zeros((15, 3), np.float32),
+                "smplx_right_hand_pose": np.zeros((15, 3), np.float32),
+                "smplx_shape": rng.normal(size=(11,)).astype(np.float32),
+                "smplx_transl": np.array([0, 0, 3.0], np.float32),
+            })
+        return {"humans": humans, "K": K}
+
+    outs = {}
+    for P in (1, 3, 2, 4, 7, 1):  # varying counts incl. > capacity (chunking)
+        outs[P] = gt_fwd(annot_for(P))
+        assert outs[P]["v3d"].shape[0] == P
+        assert outs[P]["j2d"].shape[0] == P
+    assert gt_fwd.trace_counter["n"] == 1, gt_fwd.trace_counter
+    # padded slots must not bleed into real outputs: recompute P=2 alone
+    single = make_smplx_gt_forward(bm, num_betas=10, capacity=2)(annot_for(2))
+    assert single["v3d"].shape == outs[2]["v3d"].shape
+    assert np.all(np.isfinite(outs[7]["v3d"]))
+
+
 def test_adaln_and_token_dropout(rng):
     """Reference's norm='ada' and token-dropout options (unused by shipped
     configs, kept for API parity)."""

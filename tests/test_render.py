@@ -51,6 +51,39 @@ def test_rasterizer_depth_ordering():
     assert out_fn[32, 32, 0] > out_fn[32, 32, 1]
 
 
+def test_soften_mask_reference_semantics():
+    """fg ← max(0, 2·mean3×3(fg) − 1)·fg (reference utils/render.py:301-310):
+    interior stays 1, a straight edge feathers to 1/3, an isolated pixel
+    (2/9 coverage) vanishes."""
+    from multihmr_tpu.render.render import _soften_mask
+
+    half = np.zeros((8, 8), np.float32)
+    half[:, 4:] = 1.0  # vertical half-plane
+    s = _soften_mask(half)
+    assert s[4, 6] == 1.0  # interior: 9/9 → 2·1−1 = 1
+    np.testing.assert_allclose(s[4, 4], 1.0 / 3.0, atol=1e-6)  # 6/9 → 1/3
+    assert s[4, 3] == 0.0  # background side stays 0 (multiplied by fg)
+
+    lone = np.zeros((5, 5), np.float32)
+    lone[2, 2] = 1.0
+    assert _soften_mask(lone).max() == 0.0  # 1/9 coverage → clamped away
+
+
+def test_render_meshes_edges_are_feathered():
+    """Overlay boundary pixels blend part-way instead of a hard cut."""
+    verts, faces, K = make_triangle_scene()
+    img = np.full((64, 64, 3), 200, np.uint8)
+    out = render_meshes(img, [verts], [faces], K, alpha=1.0,
+                        color=[(0.0, 0.0, 0.0)])
+    inside, bg = out[32, 32], out[0, 0]
+    assert tuple(bg) == (200, 200, 200)
+    assert inside.sum() < 30  # fully covered → mesh color
+    # some pixel strictly between background and mesh levels exists on the
+    # silhouette (the feathered rim)
+    mids = (out[..., 0] > 40) & (out[..., 0] < 180)
+    assert mids.any()
+
+
 def test_glb_export_valid_container(tmp_path):
     verts, faces, _ = make_triangle_scene()
     data = create_glb_scene([verts], [faces], str(tmp_path / "s.glb"))
