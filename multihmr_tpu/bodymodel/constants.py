@@ -8,7 +8,9 @@ map mesh vertices to the extra keypoints appended after the 55 FK joints
 """
 
 # The 55 SMPL-X skeleton joints, then 21 vertex keypoints, then 51 face
-# landmarks — the first 127 entries of smplx.joint_names.JOINT_NAMES.
+# landmarks — the first 127 entries of smplx.joint_names.JOINT_NAMES
+# (public smplx package v1.1.1, smplx/joint_names.py), the exact list the
+# reference slices at utils/humans.py:25-26.
 SMPLX_JOINT_NAMES = [
     "pelvis", "left_hip", "right_hip", "spine1", "left_knee", "right_knee",
     "spine2", "left_ankle", "right_ankle", "spine3", "left_foot", "right_foot",
@@ -51,8 +53,15 @@ def get_smplx_joint_names():
     return SMPLX_JOINT_NAMES[:127]
 
 
-# Vertex ids of the extra keypoints, keyed by body-model topology
-# (smplx package vertex_ids; verify against official assets when converting).
+# Vertex ids of the extra keypoints, keyed by body-model topology.
+# Provenance: the public smplx package's smplx/vertex_ids.py ``vertex_ids``
+# table (v1.1.1), which the reference consumes via smplx.create
+# (reference blocks/smpl_layer.py:38). These ids index the official mesh
+# topologies (SMPL-X: 10,475 verts; SMPL: 6,890) — they are meaningless for
+# the synthetic test body model and are validated against real assets by
+# ``tools/parity_harness.py --check-assets`` + the stage-delta comparison
+# (extra-joint j3d/j2d flow through these ids, so a wrong id shows up as a
+# per-person joint delta while the verts stage stays clean).
 VERTEX_IDS = {
     "smplx": {
         "nose": 9120, "reye": 9929, "leye": 9448, "rear": 616, "lear": 6,

@@ -1,0 +1,218 @@
+"""Asset manifest: expected filenames + array shapes for the licensed assets.
+
+This environment has zero egress, so the licensed SMPL-X/SMPL files and the
+released ``multiHMR_*.pt`` checkpoints cannot be fetched — real-weight parity
+(tools/parity_harness.py) is pre-staged instead. This module is the
+machine-checkable half of that pre-staging: given an assets directory it
+verifies that every file the pipeline will load has the exact keys and
+shapes the loaders (bodymodel/assets.py) and the reference's own
+``smplx.create`` configuration (reference blocks/smpl_layer.py:38:
+``use_pca=False, flat_hand_mean=True``) expect, so asset problems surface
+as named manifest errors rather than deep loader tracebacks.
+
+Expected layout mirrors the reference's ``SMPLX_DIR`` convention
+(reference demo.py:269, datasets/threedpw.py:69-70):
+
+    <assets>/smplx/SMPLX_NEUTRAL.npz
+    <assets>/smpl/SMPL_MALE.pkl, SMPL_FEMALE.pkl        (3DPW GT only)
+    <assets>/smpl_mean_params.npz                        (train-from-scratch)
+    <assets>/smplx2smpl.pkl                              (3DPW eval only)
+    <assets>/J_regressor_h36m.npy                        (3DPW eval only)
+    <assets>/multiHMR_*.pt                               (released ckpts)
+
+Reference shape provenance: the official SMPL-X NEUTRAL npz (10,475
+vertices, 55 joints, 20,908 faces, 300 shape + 100 expression blendshape
+columns, 54 pose-corrective joints ⇒ posedirs 486) and SMPL pkl (6,890
+vertices, 24 joints, 13,776 faces) — the numbers the smplx package
+hardcodes (SMPLX.NUM_BODY_JOINTS etc.) and reference utils/humans.py
+assumes.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+# dim value None = any size accepted (recorded, not checked)
+SMPLX_NPZ_SPEC: Dict[str, Tuple[Optional[int], ...]] = {
+    "v_template": (10475, 3),
+    "shapedirs": (10475, 3, None),  # 400 official (300 shape + 100 expr)
+    "posedirs": (10475, 3, 486),  # 9 * (55 - 1)
+    "J_regressor": (55, 10475),
+    "weights": (10475, 55),
+    "kintree_table": (2, 55),
+    "f": (20908, 3),
+    "lmk_faces_idx": (51,),
+    "lmk_bary_coords": (51, 3),
+}
+
+SMPL_PKL_SPEC: Dict[str, Tuple[Optional[int], ...]] = {
+    "v_template": (6890, 3),
+    "shapedirs": (6890, 3, None),  # 10 (legacy) or 300 (extended)
+    "posedirs": (6890, 3, 207),  # 9 * (24 - 1)
+    "J_regressor": (24, 6890),
+    "weights": (6890, 24),
+    "kintree_table": (2, 24),
+    "f": (13776, 3),
+}
+
+MEAN_PARAMS_SPEC: Dict[str, Tuple[Optional[int], ...]] = {
+    # smpl_mean_params.npz (reference model.py:442): 24-joint 6d pose
+    "pose": (144,),
+    "shape": (10,),
+    "cam": (3,),
+}
+
+# minimum blendshape columns for the pipeline's num_betas/num_expression
+_MIN_SHAPEDIRS = {"SMPLX": 20, "SMPL": 10}
+
+
+def _shape_of(x) -> Tuple[int, ...]:
+    if hasattr(x, "toarray"):  # scipy sparse
+        return tuple(x.shape)
+    if hasattr(x, "r"):  # chumpy
+        return tuple(np.asarray(x.r).shape)
+    return tuple(np.asarray(x).shape)
+
+
+def _check_mapping(name: str, data, spec: Dict[str, Tuple[Optional[int], ...]],
+                   min_blend: int) -> List[str]:
+    problems = []
+    for key, want in spec.items():
+        if key not in data:
+            problems.append(f"{name}: missing key '{key}'")
+            continue
+        got = _shape_of(data[key])
+        if len(got) != len(want) or any(
+            w is not None and g != w for g, w in zip(got, want)
+        ):
+            problems.append(f"{name}: '{key}' shape {got}, expected {want}")
+    if "shapedirs" in data:
+        got = _shape_of(data["shapedirs"])
+        if len(got) == 3 and got[-1] < min_blend:
+            problems.append(
+                f"{name}: shapedirs has {got[-1]} blend columns, "
+                f"need >= {min_blend} (num_betas 11 + expression slice)"
+            )
+    return problems
+
+
+def check_smplx_npz(path: str) -> List[str]:
+    """Problems list (empty = valid) for an ``SMPLX_*.npz`` asset."""
+    try:
+        data = np.load(path, allow_pickle=True)
+    except Exception as e:  # unreadable file is a manifest problem too
+        return [f"{os.path.basename(path)}: cannot load ({e})"]
+    return _check_mapping(
+        os.path.basename(path), data, SMPLX_NPZ_SPEC, _MIN_SHAPEDIRS["SMPLX"]
+    )
+
+
+def check_smpl_pkl(path: str) -> List[str]:
+    from multihmr_tpu.bodymodel.assets import _TolerantUnpickler
+
+    try:
+        with open(path, "rb") as f:
+            data = _TolerantUnpickler(f, encoding="latin1").load()
+    except Exception as e:
+        return [f"{os.path.basename(path)}: cannot load ({e})"]
+    return _check_mapping(
+        os.path.basename(path), data, SMPL_PKL_SPEC, _MIN_SHAPEDIRS["SMPL"]
+    )
+
+
+def check_mean_params(path: str) -> List[str]:
+    try:
+        data = np.load(path)
+    except Exception as e:
+        return [f"{os.path.basename(path)}: cannot load ({e})"]
+    problems = []
+    for key, want in MEAN_PARAMS_SPEC.items():
+        if key not in data:
+            problems.append(f"smpl_mean_params.npz: missing key '{key}'")
+            continue
+        got = tuple(int(s) for s in np.asarray(data[key]).reshape(-1).shape)
+        if got != want:
+            problems.append(
+                f"smpl_mean_params.npz: '{key}' has {got[0]} values, "
+                f"expected {want[0]}"
+            )
+    return problems
+
+
+def check_checkpoint(path: str) -> List[str]:
+    """Structural check of a released ``multiHMR_*.pt`` (reference
+    demo.py:87-103 expects ``args`` + ``model_state_dict`` entries)."""
+    try:
+        import torch
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    except Exception as e:
+        return [f"{os.path.basename(path)}: cannot load ({e})"]
+    problems = []
+    for key in ("args", "model_state_dict"):
+        if key not in ckpt:
+            problems.append(f"{os.path.basename(path)}: missing '{key}'")
+    return problems
+
+
+def check_assets_dir(assets_dir: str) -> Dict[str, object]:
+    """Walk ``assets_dir`` and validate every recognized asset.
+
+    Returns {"found": {relpath: n_problems}, "missing": [names],
+    "problems": [messages]}. Only SMPLX_NEUTRAL.npz is REQUIRED for the
+    demo/parity path; everything else is reported as missing but does not
+    make the manifest invalid (3DPW/train-only assets).
+    """
+    found: Dict[str, int] = {}
+    problems: List[str] = []
+    seen_names = set()
+    for dirpath, _dn, filenames in os.walk(assets_dir):
+        for fn in filenames:
+            path = os.path.join(dirpath, fn)
+            rel = os.path.relpath(path, assets_dir)
+            if fn.startswith("SMPLX_") and fn.endswith(".npz"):
+                p = check_smplx_npz(path)
+            elif fn.startswith("SMPL_") and fn.endswith(".pkl"):
+                p = check_smpl_pkl(path)
+            elif fn == "smpl_mean_params.npz":
+                p = check_mean_params(path)
+            elif fn == "smplx2smpl.pkl":
+                from multihmr_tpu.bodymodel.assets import load_smplx2smpl
+
+                try:
+                    m = load_smplx2smpl(path)
+                    p = [] if m.shape == (6890, 10475) else [
+                        f"smplx2smpl.pkl: matrix {m.shape}, expected (6890, 10475)"
+                    ]
+                except Exception as e:
+                    p = [f"smplx2smpl.pkl: cannot load ({e})"]
+            elif fn == "J_regressor_h36m.npy":
+                try:
+                    r = np.load(path)
+                    p = [] if r.shape == (17, 6890) else [
+                        f"J_regressor_h36m.npy: {r.shape}, expected (17, 6890)"
+                    ]
+                except Exception as e:
+                    p = [f"J_regressor_h36m.npy: cannot load ({e})"]
+            elif fn.startswith("multiHMR_") and fn.endswith(".pt"):
+                p = check_checkpoint(path)
+            else:
+                continue
+            seen_names.add(fn)
+            found[rel] = len(p)
+            problems.extend(p)
+    missing = []
+    if not any(n.startswith("SMPLX_") for n in seen_names):
+        missing.append("smplx/SMPLX_NEUTRAL.npz (REQUIRED for demo/parity)")
+    for optional in ("smpl_mean_params.npz", "smplx2smpl.pkl",
+                     "J_regressor_h36m.npy"):
+        if optional not in seen_names:
+            missing.append(f"{optional} (optional: train / 3DPW eval)")
+    if not any(n.startswith("SMPL_") for n in seen_names):
+        missing.append("smpl/SMPL_MALE.pkl + SMPL_FEMALE.pkl (optional: 3DPW GT)")
+    if not any(n.startswith("multiHMR_") for n in seen_names):
+        missing.append("multiHMR_<res>_<size>.pt (released checkpoint)")
+    return {"found": found, "missing": missing, "problems": problems}

@@ -42,6 +42,12 @@ def main():
     p.add_argument("--fov", type=float, default=60)
     p.add_argument("--det_thresh", type=float, default=0.3)
     p.add_argument("--nms_kernel_size", type=int, default=3)
+    p.add_argument(
+        "--stages", action="store_true",
+        help="also dump per-stage intermediates (backbone tokens, detection "
+        "logits, HPH outputs) via forward hooks, as stage_* keys — "
+        "tools/parity_harness.py compares them for stage-localized deltas",
+    )
     args = p.parse_args()
 
     sys.path.insert(0, os.path.abspath(args.reference_dir))
@@ -68,6 +74,22 @@ def main():
     model.load_state_dict(ckpt["model_state_dict"], strict=False)
     model.eval()
 
+    # --stages: capture intermediates at the same boundaries the jax side
+    # reads (tools/parity_harness.py capture_stages): backbone output
+    # (reference model.py:229), mlp_classif logits (model.py:135), HPH
+    # output tuple (model.py:281).
+    stage: dict = {}
+    if args.stages and hasattr(model, "backbone"):
+        model.backbone.register_forward_hook(
+            lambda m, i, o: stage.__setitem__("backbone", o)
+        )
+        model.mlp_classif.register_forward_hook(
+            lambda m, i, o: stage.__setitem__("det_logits", o)
+        )
+        model.x_attention_head.register_forward_hook(
+            lambda m, i, o: stage.__setitem__("hph", o)
+        )
+
     os.makedirs(args.out, exist_ok=True)
     img_size = kwargs["img_size"] if isinstance(kwargs["img_size"], int) \
         else kwargs["img_size"][0]
@@ -85,6 +107,19 @@ def main():
             for f in FIELDS:
                 if f in h:
                     dump[f"{f}_{i}"] = h[f].detach().cpu().numpy()
+        if stage:
+            np_ = lambda t: t.detach().cpu().float().numpy()
+            dump["stage_backbone"] = np_(stage["backbone"])[0]  # [N, D]
+            dump["stage_det_logits"] = np_(stage["det_logits"])[0, :, 0]
+            pred_smpl, pred_cam = stage["hph"]
+            dump["stage_hph_rotmat"] = np_(
+                torch.cat(
+                    [pred_smpl["global_orient"], pred_smpl["body_pose"]], 1
+                )
+            )  # [P, nrot, 3, 3] in person (detection) order
+            dump["stage_hph_betas"] = np_(pred_smpl["betas"])
+            dump["stage_hph_cam"] = np_(pred_cam)[:, 0]
+            stage.clear()
         out_path = os.path.join(args.out, os.path.splitext(name)[0] + ".npz")
         np.savez(out_path, **dump)
         print(f"{name}: {len(humans)} persons -> {out_path}")
