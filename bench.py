@@ -43,8 +43,14 @@ ITERS = 8
 REPEATS = 7
 
 
-def measure_model(name: str, batch: int = 1) -> float:
-    """p50 per-image latency (ms) of ``name`` at the given batch size."""
+def measure_model(name: str, batch: int = 1, on_provisional=None) -> float:
+    """p50 per-image latency (ms) of ``name`` at the given batch size.
+
+    ``on_provisional(ms)``: called with a first estimate after only 3
+    measured repeats — the driver-timeout hardening hook: main() prints a
+    parseable JSON line the moment it fires, so even a run killed mid-bench
+    leaves the flagship number in the output tail.
+    """
     model, _ = build_model(name)
     cfg = model.cfg
     # NOTE: params must be a jit ARGUMENT — closing over them would inline
@@ -74,12 +80,9 @@ def measure_model(name: str, batch: int = 1) -> float:
 
     for _ in range(2):  # compile + genuine warmup (first post-compile run
         _ = float(chained(params, x))  # can pay one-off cache/load costs)
-    times = []
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        float(chained(params, x))
-        times.append((time.perf_counter() - t0) / ITERS)
+
     # measured readback/dispatch constant, amortized over the same ITERS
+    # (before the repeat loop so the provisional estimate can subtract it)
     @jax.jit
     def nop(x):
         return jnp.sum(x)
@@ -90,14 +93,22 @@ def measure_model(name: str, batch: int = 1) -> float:
         float(nop(x))
         lat.append(time.perf_counter() - t0)
     overhead = np.median(lat) / ITERS
-    times = sorted(times)[: max(3, REPEATS - 2)]  # drop outlier tail
-    p50 = max(np.median(times) - overhead, 1e-9) * 1e3
-    return float(p50) / batch
+
+    def p50_of(samples):
+        kept = sorted(samples)[: max(3, len(samples) - 2)]  # drop outlier tail
+        return float(max(np.median(kept) - overhead, 1e-9) * 1e3) / batch
+
+    times = []
+    for r in range(REPEATS):
+        t0 = time.perf_counter()
+        float(chained(params, x))
+        times.append((time.perf_counter() - t0) / ITERS)
+        if r == 2 and on_provisional is not None:
+            on_provisional(p50_of(times))
+    return p50_of(times)
 
 
-def main():
-    sweep = "--sweep" in sys.argv
-    p50 = measure_model("multiHMR_896_L")
+def emit_flagship(p50: float) -> None:
     print(
         json.dumps(
             {
@@ -106,8 +117,17 @@ def main():
                 "unit": "ms",
                 "vs_baseline": round(BASELINE_MS / p50, 2),
             }
-        )
+        ),
+        flush=True,
     )
+
+
+def main():
+    sweep = "--sweep" in sys.argv
+    # the provisional emit (3 repeats in) makes a driver-timeout run still
+    # leave a parseable line; the final line supersedes it when we get there
+    p50 = measure_model("multiHMR_896_L", on_provisional=emit_flagship)
+    emit_flagship(p50)
     if not sweep:
         return
     # Reference V100 numbers (reference README.md:85-95): 896_L 126 ms,

@@ -219,6 +219,9 @@ class TAttention(nn.Module):
     dtype: Any = jnp.bfloat16
     mesh: Any = None
     tp_mode: str = "heads"
+    # true token count when the stream is pre-padded to the kernel length
+    # (None = stream length IS the true length; kernel pads internally)
+    kv_len: Any = None
 
     @nn.compact
     def __call__(self, x):  # [B, D, N]
@@ -228,7 +231,9 @@ class TAttention(nn.Module):
         qkv = TDense(3 * D, dtype=self.dtype, name="qkv")(x)  # [B, 3D, N]
         qkv = qkv.reshape(B, 3, h, dh, N)  # free: minor dim untouched
         q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]  # [B, h, dh, N]
-        out = mesh_attention_t(q, k, v, self.mesh, mode=self.tp_mode)
+        out = mesh_attention_t(
+            q, k, v, self.mesh, mode=self.tp_mode, kv_len=self.kv_len
+        )
         out = out.reshape(B, D, N)  # free merge
         return TDense(self.dim, dtype=self.dtype, name="proj")(out)
 
@@ -240,6 +245,7 @@ class TBlock(nn.Module):
     dtype: Any = jnp.bfloat16
     mesh: Any = None
     tp_mode: str = "heads"
+    kv_len: Any = None  # pre-padded stream: true token count
 
     @nn.compact
     def __call__(self, x, _scan_unused=None):
@@ -247,7 +253,8 @@ class TBlock(nn.Module):
         y = TLayerNorm(name="norm1", dtype=self.dtype)(x)
         y = TAttention(
             c.embed_dim, c.num_heads, self.dtype,
-            mesh=self.mesh, tp_mode=self.tp_mode, name="attn",
+            mesh=self.mesh, tp_mode=self.tp_mode, kv_len=self.kv_len,
+            name="attn",
         )(y.astype(self.dtype))
         x = x + TLayerScale(c.embed_dim, c.layerscale_init, self.dtype, name="ls1")(y)
         y = TLayerNorm(name="norm2", dtype=self.dtype)(x)
@@ -270,6 +277,7 @@ class ScannedBlocks(nn.Module):
     mesh: Any = None
     tp_mode: str = "heads"
     transposed: bool = False
+    kv_len: Any = None  # pre-padded transposed stream: true token count
 
     @nn.compact
     def __call__(self, tokens):
@@ -285,8 +293,10 @@ class ScannedBlocks(nn.Module):
             split_rngs={"params": True},
             length=self.cfg.depth,
         )
+        kw = {"kv_len": self.kv_len} if self.transposed else {}
         return scan(
-            self.cfg, self.dtype, mesh=self.mesh, tp_mode=self.tp_mode, name="block"
+            self.cfg, self.dtype, mesh=self.mesh, tp_mode=self.tp_mode,
+            name="block", **kw
         )(tokens, None)[0]
 
 
@@ -342,22 +352,43 @@ class DINOv2ViT(nn.Module):
         tokens = tokens + pos.astype(self.dtype)
 
         transposed = self.transposed_stream and self.tp_mode != "ring"
+        kv_len = None
         if transposed:
             tokens = tokens.transpose(0, 2, 1)  # [B, D, 1+N] channels-major
+            # Pre-pad the stream ONCE to the flash kernel's padded length:
+            # otherwise every layer pads q/k/v in and slices the output out,
+            # and at batch > 1 XLA materializes those as separate HBM passes
+            # (~3 ms/img at 896_L batch 4, profiled). Gated on ≤5% padding
+            # overhead: worth it at 896²/1288² (3%) where the pad tokens ride
+            # the dense matmuls almost free; at 672² the kernel pad is 11%
+            # (2305→2560) and taxing every MLP with it costs more than the
+            # boundary traffic saves. Pad tokens carry junk (NOT zeros) —
+            # attention masks kv ≥ kv_len inside the kernel, everything else
+            # is per-token, and the slice below drops them.
+            from multihmr_tpu.ops.attention import transposed_padded_len
+
+            n_tok = 1 + n
+            n_pad = transposed_padded_len(n_tok)
+            if n_pad != n_tok and (n_pad - n_tok) / n_tok <= 0.05:
+                tokens = jnp.pad(tokens, [(0, 0), (0, 0), (0, n_pad - n_tok)])
+                kv_len = n_tok
         if self.scan_blocks:
             tokens = ScannedBlocks(
                 c, self.dtype, remat=self.remat,
                 mesh=self.mesh, tp_mode=self.tp_mode, transposed=transposed,
-                name="blocks",
+                kv_len=kv_len, name="blocks",
             )(tokens)
         else:
             block_cls = TBlock if transposed else Block
             for i in range(c.depth):
+                kw = {"kv_len": kv_len} if transposed else {}
                 tokens = block_cls(
                     c, self.dtype, mesh=self.mesh, tp_mode=self.tp_mode,
-                    name=f"block{i}",
+                    name=f"block{i}", **kw
                 )(tokens)[0]
         if transposed:
+            if kv_len is not None:
+                tokens = tokens[:, :, :kv_len]  # drop the pad-token junk
             tokens = tokens.transpose(0, 2, 1)  # back to [B, 1+N, D]
 
         tokens = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(tokens)

@@ -394,13 +394,36 @@ def _fwd_kernel_t(
             lse_ref[0, 0] = (m_ref[0] + jnp.log2(l)) * _LN2
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
-def _flash_fwd_impl_t(q, k, v, scale=None, interpret=False):
-    """``[B, H, Dh, N]`` in → (out_t ``[B, H, Dh, N]``, lse ``[B, H, N]``)."""
+def transposed_padded_len(n: int) -> int:
+    """The padded length the transposed flash kernel runs at for a true
+    sequence length ``n``. A channels-major caller that keeps its residual
+    stream pre-padded to this length (with ``kv_len=n`` threaded through
+    :func:`attention_t`) makes the per-layer pad/slice around the kernel
+    vanish entirely — at batch > 1 XLA materializes those as separate HBM
+    passes (~3 ms/img at 896_L batch 4, profiled on v5e)."""
+    return _choose_fwd_blocks(n, sub_align=128)[0]
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret", "kv_len"))
+def _flash_fwd_impl_t(q, k, v, scale=None, interpret=False, kv_len=None):
+    """``[B, H, Dh, N]`` in → (out_t ``[B, H, Dh, N]``, lse ``[B, H, N]``).
+
+    ``kv_len``: the TRUE sequence length when the inputs arrive already
+    padded to :func:`transposed_padded_len` (a pre-padded residual stream).
+    Positions ≥ kv_len are masked out of the softmax inside the kernel, so
+    their content is arbitrary (residual-stream junk, not zeros); the
+    outputs keep the padded length. Default (None): inputs are unpadded and
+    this function pads/slices internally as before.
+    """
     B, H, D, N = q.shape
     if scale is None:
         scale = D ** -0.5
-    Np, bq, bkv, nsub = _choose_fwd_blocks(N, sub_align=128)
+    prepadded = kv_len is not None and kv_len != N
+    if kv_len is None:
+        kv_len = N
+    Np, bq, bkv, nsub = _choose_fwd_blocks(kv_len, sub_align=128)
+    if prepadded:
+        assert N == Np, (N, Np, kv_len)
     q = q * jnp.asarray(scale * _LOG2E, q.dtype)
     if Np != N:
         pad = [(0, 0), (0, 0), (0, 0), (0, Np - N)]
@@ -413,8 +436,8 @@ def _flash_fwd_impl_t(q, k, v, scale=None, interpret=False):
 
     out, lse = pl.pallas_call(
         functools.partial(
-            _fwd_kernel_t, kv_steps=kv_steps, bkv=bkv, nsub=nsub, kv_len=N,
-            padded=Np != N,
+            _fwd_kernel_t, kv_steps=kv_steps, bkv=bkv, nsub=nsub,
+            kv_len=kv_len, padded=Np != kv_len,
         ),
         grid=(B * H, Np // bq, kv_steps),
         in_specs=[
@@ -441,39 +464,50 @@ def _flash_fwd_impl_t(q, k, v, scale=None, interpret=False):
     )(qf, kf, vf)
     out = out.reshape(B, H, D, Np)
     lse = lse.reshape(B, H, Np)
-    if Np != N:
+    if Np != N:  # only when THIS function padded (pre-padded stays padded)
         out, lse = out[:, :, :, :N], lse[:, :, :N]
     return out, lse
 
 
-def mha_reference_t(q, k, v, scale=None):
-    """Plain attention in the transposed layout, ``[B, H, Dh, N]`` in/out."""
+def mha_reference_t(q, k, v, scale=None, kv_len=None):
+    """Plain attention in the transposed layout, ``[B, H, Dh, N]`` in/out.
+
+    ``kv_len``: mask key positions ≥ kv_len (pre-padded stream — same
+    semantics as the Pallas kernels, so CPU tests exercise identical math).
+    """
     if scale is None:
         scale = q.shape[-2] ** -0.5
     logits = jnp.einsum("bhdn,bhdm->bhnm", q, k) * scale
+    if kv_len is not None and kv_len != q.shape[-1]:
+        key_pos = jnp.arange(q.shape[-1])
+        logits = jnp.where(key_pos[None, None, None, :] < kv_len, logits, -jnp.inf)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
     return jnp.einsum("bhnm,bhdm->bhdn", probs, v)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def flash_attention_t(q, k, v, scale=None, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def flash_attention_t(q, k, v, scale=None, interpret=False, kv_len=None):
     """Differentiable transposed-stream flash attention, ``[B,H,Dh,N]``
     in/out. Backward reuses the standard blockwise kernels on transposed
     views (the extra transposes cost only during training)."""
-    return _flash_fwd_impl_t(q, k, v, scale=scale, interpret=interpret)[0]
+    return _flash_fwd_impl_t(
+        q, k, v, scale=scale, interpret=interpret, kv_len=kv_len
+    )[0]
 
 
-def _fat_fwd(q, k, v, scale, interpret):
-    out_t, lse = _flash_fwd_impl_t(q, k, v, scale=scale, interpret=interpret)
+def _fat_fwd(q, k, v, scale, interpret, kv_len):
+    out_t, lse = _flash_fwd_impl_t(
+        q, k, v, scale=scale, interpret=interpret, kv_len=kv_len
+    )
     return out_t, (q, k, v, out_t, lse)
 
 
-def _fat_bwd(scale, interpret, res, g):
+def _fat_bwd(scale, interpret, kv_len, res, g):
     # residuals and cotangent are already channels-major — straight into the
     # transposed backward kernels, zero boundary transposes
     q, k, v, out_t, lse = res
     return _flash_bwd_impl_t(
-        q, k, v, out_t, lse, g, scale=scale, interpret=interpret
+        q, k, v, out_t, lse, g, scale=scale, interpret=interpret, kv_len=kv_len
     )
 
 
@@ -482,16 +516,17 @@ flash_attention_t.defvjp(_fat_fwd, _fat_bwd)
 
 def attention_t(
     q: jax.Array, k: jax.Array, v: jax.Array, scale: float | None = None,
-    use_flash: bool | None = None,
+    use_flash: bool | None = None, kv_len: int | None = None,
 ) -> jax.Array:
     """Transposed-stream dispatch: Pallas on TPU for long sequences, XLA
-    einsum elsewhere. ``[B, H, Dh, N]`` in/out."""
+    einsum elsewhere. ``[B, H, Dh, N]`` in/out. ``kv_len``: true sequence
+    length for a pre-padded stream (see :func:`transposed_padded_len`)."""
     N = q.shape[-1]
     if use_flash is None:
         use_flash = _on_tpu() and N >= 1024
     if use_flash:
-        return flash_attention_t(q, k, v, scale)
-    return mha_reference_t(q, k, v, scale=scale)
+        return flash_attention_t(q, k, v, scale, False, kv_len)
+    return mha_reference_t(q, k, v, scale=scale, kv_len=kv_len)
 
 
 def _pad_and_block(n: int, target: int) -> tuple[int, int]:
@@ -512,7 +547,7 @@ def _pad_and_block(n: int, target: int) -> tuple[int, int]:
 
 def _bwd_dq_kernel_t(
     q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref, dq_ref, acc_ref,
-    *, scale, kv_steps, bkv, kv_len,
+    *, scale, kv_steps, bkv, kv_len, mask_kv,
 ):
     """dQ, channels-major: one (batch*head, q-block) program walking kv.
 
@@ -523,8 +558,9 @@ def _bwd_dq_kernel_t(
     dq matmul idled half the output lanes on D=64). Only the s/dp matmuls
     keep the inherent D=64 contraction floor.
 
-    Padded kv positions need no mask here: padded k/v are zero, so their
-    ds·k and dp contributions vanish identically.
+    Zero-padded kv positions need no mask here (their ds·k and dp
+    contributions vanish identically); a PRE-padded stream's kv junk is not
+    zero, so ``mask_kv`` switches on an explicit row mask for it.
     """
     kv_i = pl.program_id(2)
 
@@ -546,6 +582,9 @@ def _bwd_dq_kernel_t(
         k, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )  # [bkv, bq]
     p = jnp.exp2(s - lse[None, :])
+    if mask_kv:
+        row = jax.lax.broadcasted_iota(jnp.int32, p.shape, 0) + kv_i * bkv
+        p = jnp.where(row < kv_len, p, 0.0)
     dp = jax.lax.dot_general(
         v, do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -563,7 +602,7 @@ def _bwd_dq_kernel_t(
 
 def _bwd_dkv_kernel_t(
     q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref, dk_ref, dv_ref,
-    dk_acc, dv_acc, *, q_steps, bkv, kv_len,
+    dk_acc, dv_acc, *, q_steps, bkv, kv_len, mask_kv,
 ):
     """dK/dV, channels-major: one (batch*head, kv-block) program walking q.
 
@@ -592,7 +631,9 @@ def _bwd_dkv_kernel_t(
     )  # [bkv, bq]
     p = jnp.exp2(s - lse[None, :])
     kv_j = pl.program_id(1)
-    if kv_len % bkv != 0:
+    # mask_kv: PRE-padded stream (kv junk is non-zero) — always mask; plain
+    # zero-padding only needs it when a block straddles the boundary
+    if mask_kv or kv_len % bkv != 0:
         row = jax.lax.broadcasted_iota(jnp.int32, p.shape, 0) + kv_j * bkv
         p = jnp.where(row < kv_len, p, 0.0)
     dv_acc[:] += jax.lax.dot_general(
@@ -628,8 +669,9 @@ def _choose_bwd_blocks(N):
     return Np, bq, bkv
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
-def _flash_bwd_impl_t(q, k, v, o, lse, do, scale=None, interpret=False):
+@functools.partial(jax.jit, static_argnames=("scale", "interpret", "kv_len"))
+def _flash_bwd_impl_t(q, k, v, o, lse, do, scale=None, interpret=False,
+                      kv_len=None):
     """Flash-attention backward, channels-major ``[B, H, Dh, N]`` in/out.
 
     O(N·block) memory, no [N, N] materialization (the round-1 XLA backward
@@ -637,11 +679,21 @@ def _flash_bwd_impl_t(q, k, v, o, lse, do, scale=None, interpret=False):
     1288², killing large-resolution training). This is the native layout for
     the transposed-stream ViT: residuals arrive channels-major and gradients
     leave channels-major with ZERO boundary transposes.
+
+    ``kv_len``: true length for PRE-padded inputs (see _flash_fwd_impl_t).
+    The kv junk beyond it is non-zero, so both kernels mask those rows;
+    gradients keep the padded length, with exact zeros in the pad lanes
+    (the invariant that keeps upstream weight gradients junk-free).
     """
     B, H, D, N = q.shape
     if scale is None:
         scale = D ** -0.5
-    Np, bq, bkv = _choose_bwd_blocks(N)
+    prepadded = kv_len is not None and kv_len != N
+    if kv_len is None:
+        kv_len = N
+    Np, bq, bkv = _choose_bwd_blocks(kv_len)
+    if prepadded:
+        assert N == Np, (N, Np, kv_len)
     dd = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=2)  # [B,H,N]
     # exp2-space probability reconstruction: q and lse move to log2 units
     # once here, per-tile multiplies vanish (see the kernels' docstrings).
@@ -665,7 +717,8 @@ def _flash_bwd_impl_t(q, k, v, o, lse, do, scale=None, interpret=False):
     r_spec = pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i))
     dq = pl.pallas_call(
         functools.partial(
-            _bwd_dq_kernel_t, scale=scale, kv_steps=kv_steps, bkv=bkv, kv_len=N
+            _bwd_dq_kernel_t, scale=scale, kv_steps=kv_steps, bkv=bkv,
+            kv_len=kv_len, mask_kv=prepadded,
         ),
         grid=(B * H, Np // bq, kv_steps),
         in_specs=[q_spec, kv_spec, kv_spec, q_spec, r_spec, r_spec],
@@ -683,7 +736,8 @@ def _flash_bwd_impl_t(q, k, v, o, lse, do, scale=None, interpret=False):
     rw_spec = pl.BlockSpec((1, 1, bq), lambda b, j, i: (b, 0, i))
     dk, dv = pl.pallas_call(
         functools.partial(
-            _bwd_dkv_kernel_t, q_steps=q_steps, bkv=bkv, kv_len=N
+            _bwd_dkv_kernel_t, q_steps=q_steps, bkv=bkv,
+            kv_len=kv_len, mask_kv=prepadded,
         ),
         grid=(B * H, kv_steps, q_steps),
         in_specs=[qw_spec, kvw_spec, kvw_spec, qw_spec, rw_spec, rw_spec],

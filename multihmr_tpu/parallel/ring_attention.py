@@ -257,6 +257,7 @@ def mesh_attention_t(
     mode: str = "heads",
     axis: str = "model",
     scale: float | None = None,
+    kv_len: int | None = None,
 ) -> jax.Array:
     """Mesh-aware TRANSPOSED-stream attention: ``[B, H, Dh, N]`` in/out.
 
@@ -267,12 +268,13 @@ def mesh_attention_t(
     pays ppermute — the one transpose is noise there).
     """
     if mesh is None or axis not in mesh.shape or mesh.shape[axis] <= 1:
-        return attention_t(q, k, v, scale=scale)
+        return attention_t(q, k, v, scale=scale, kv_len=kv_len)
     batch_axis = None
     if "data" in mesh.shape and mesh.shape["data"] > 1 \
             and q.shape[0] % mesh.shape["data"] == 0:
         batch_axis = "data"
     if mode == "ring":
+        assert kv_len is None, "pre-padded stream not used with ring SP"
         std = lambda t: t.transpose(0, 1, 3, 2)
         out = sequence_parallel_attention(
             std(q), std(k), std(v), mesh, axis=axis, scale=scale,
@@ -287,7 +289,7 @@ def mesh_attention_t(
     spec = P(batch_axis, axis, None, None)
 
     def local(q, k, v):
-        return attention_t(q, k, v, scale=scale)
+        return attention_t(q, k, v, scale=scale, kv_len=kv_len)
 
     return shard_map(
         local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec

@@ -110,3 +110,52 @@ def test_flash_t_vjp_matches_reference_grad(rng, N):
     g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g_f, g_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_flash_t_prepadded_kv_len_fwd_bwd():
+    """Pre-padded transposed kernels (interpret mode): junk beyond kv_len
+    must not affect outputs or gradients of the real tokens, and the pad
+    lanes of all three gradients must be EXACTLY zero (the invariant that
+    keeps upstream weight grads junk-free in the pre-padded stream)."""
+    import multihmr_tpu.ops.attention as A
+
+    rng = np.random.default_rng(7)
+    B, H, D, n = 1, 2, 32, 300
+    Np = A.transposed_padded_len(n)
+    assert Np > n
+    mk = lambda: rng.normal(size=(B, H, D, Np)).astype(np.float32)
+    qp, kp, vp = (jnp.asarray(t) for t in (mk(), mk(), mk()))  # junk pads
+    q, k, v = qp[..., :n], kp[..., :n], vp[..., :n]
+
+    # forward: padded-with-junk + kv_len == unpadded on the real lanes
+    out_pad = A.flash_attention_t(qp, kp, vp, None, True, n)
+    out_ref = A.flash_attention_t(q, k, v, None, True)
+    np.testing.assert_allclose(
+        np.asarray(out_pad[..., :n]), np.asarray(out_ref), atol=2e-5
+    )
+
+    # backward: cotangent zero on pad lanes (as the sliced stream produces)
+    gpad = jnp.asarray(
+        np.concatenate([rng.normal(size=(B, H, D, n)).astype(np.float32),
+                        np.zeros((B, H, D, Np - n), np.float32)], -1)
+    )
+
+    def f_pad(q, k, v):
+        return jnp.vdot(A.flash_attention_t(q, k, v, None, True, n), gpad)
+
+    def f_ref(q, k, v):
+        return jnp.vdot(A.flash_attention_t(q, k, v, None, True), gpad[..., :n])
+
+    dq_p, dk_p, dv_p = jax.grad(f_pad, argnums=(0, 1, 2))(qp, kp, vp)
+    dq_r, dk_r, dv_r = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for g_pad_full, g_ref, name in (
+        (dq_p, dq_r, "dq"), (dk_p, dk_r, "dk"), (dv_p, dv_r, "dv")
+    ):
+        np.testing.assert_allclose(
+            np.asarray(g_pad_full[..., :n]), np.asarray(g_ref), atol=2e-5,
+            err_msg=name,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(g_pad_full[..., n:]),
+            np.zeros((B, H, D, Np - n), np.float32), err_msg=f"{name} pad lanes",
+        )
