@@ -218,9 +218,49 @@ class MultiHMR:
         nms_kernel_size: int = 3,
         is_training: bool = False,
         gt_det: Optional[Detections] = None,
+        batch_mode: str = "auto",
     ) -> dict:
         """Full forward: net + body model. All outputs are ``[B, K, ...]``
-        padded, with ``out['det'].valid`` the person mask."""
+        padded, with ``out['det'].valid`` the person mask.
+
+        ``batch_mode`` — how a batch > 1 is executed on a single device:
+
+          * ``"map"``: ``lax.map`` of the batch-1 body over the images —
+            ONE compiled program run B times back-to-back on-device. This
+            family is compute-saturated at batch 1 (dense at ~100% of the
+            bf16 roofline, flash attention at its D=64 floor), so fused
+            batching cannot amortize anything; instead XLA's batched dense
+            lowering loses ~8-12% (one projection lowers to a convolution,
+            the fc fusions drop to ~88% roofline — profiled on v5e).
+            Measured (v5e): 896_L batch 4 fused 35.67 vs map 34.94 ms/img
+            (sub0-softmax kernel: map 31.87 vs batch-1 31.64), 672_B
+            batch 8 fused 6.36 vs map 6.18 ms/img.
+          * ``"fused"``: one batched XLA program (the conventional path) —
+            required under a mesh (lax.map over a sharded batch axis would
+            serialize across devices) and for training (whole-batch grads).
+          * ``"auto"``: "map" exactly when it wins: B > 1, no mesh, inference.
+        """
+        if batch_mode not in ("auto", "fused", "map"):
+            raise ValueError(f"unknown batch_mode {batch_mode!r}")
+        use_map = batch_mode == "map" or (
+            batch_mode == "auto"
+            and x.shape[0] > 1
+            and self.mesh is None
+            and not is_training
+            and gt_det is None
+        )
+        if use_map:
+            def one(args):
+                xi, Ki = args
+                out1 = self.forward(
+                    params, xi[None], Ki[None],
+                    det_thresh=det_thresh, nms_kernel_size=nms_kernel_size,
+                    batch_mode="fused",
+                )
+                return jax.tree_util.tree_map(lambda t: t[0], out1)
+
+            return jax.lax.map(one, (x, K))
+
         c = self.cfg
         out = self.net.apply(
             params, x, K,

@@ -323,7 +323,33 @@ class MultiHMRAnny:
         nms_kernel_size: int = 3,
         is_training: bool = False,
         gt_det: Optional[Detections] = None,
+        batch_mode: str = "auto",
     ) -> dict:
+        # Batch>1 inference: lax.map of the batch-1 body (see
+        # models/multihmr.py::MultiHMR.forward — same rationale/measurements;
+        # the family is compute-saturated at batch 1, fused batched dense
+        # lowers ~8-12% off roofline).
+        use_map = batch_mode == "map" or (
+            batch_mode == "auto"
+            and x.shape[0] > 1
+            and self.mesh is None
+            and not is_training
+            and gt_det is None
+        )
+        if use_map:
+            def one(args):
+                xi, Ki = args
+                out1 = self.forward(
+                    params, xi, None if K is None else Ki,
+                    det_thresh=det_thresh, nms_kernel_size=nms_kernel_size,
+                    batch_mode="fused",
+                )
+                return jax.tree_util.tree_map(lambda t: t[0], out1)
+
+            xs = x[:, None]  # [B, 1, S, S, 3]: each mapped slice is a batch-1
+            Ks = (jnp.zeros((x.shape[0], 1)) if K is None else K[:, None])
+            return jax.lax.map(one, (xs, Ks))
+
         out = self.net.apply(
             params, x, K,
             det_thresh=det_thresh, nms_kernel_size=nms_kernel_size,

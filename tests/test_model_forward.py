@@ -220,3 +220,52 @@ def test_bf16_param_cast_matches_fp32():
     np.testing.assert_allclose(
         np.asarray(out16["scores"]), np.asarray(out32["scores"]), atol=3e-2
     )
+
+
+def test_batch_map_matches_fused():
+    """``batch_mode="map"`` (lax.map of the batch-1 body, the single-device
+    batch>1 execution strategy) must produce the same outputs as the fused
+    batched program — identical math, different scheduling."""
+    model = make_model()
+    params = model.init_params(jax.random.PRNGKey(0))
+    B = 3
+    x = jax.random.normal(jax.random.PRNGKey(2), (B, 56, 56, 3))
+    K = default_K(B)
+    fused = model.forward(params, x, K, det_thresh=0.3, batch_mode="fused")
+    mapped = model.forward(params, x, K, det_thresh=0.3, batch_mode="map")
+    assert mapped["v3d"].shape == fused["v3d"].shape
+    np.testing.assert_array_equal(
+        np.asarray(fused["det"].valid), np.asarray(mapped["det"].valid)
+    )
+    for key in ("scores", "loc", "dist", "rotvec", "shape", "v3d", "j2d"):
+        # fp reassociation only: different XLA scheduling re-associates sums
+        # (dist's exp-decode and rotmat→rotvec amplify 1-ulp differences)
+        np.testing.assert_allclose(
+            np.asarray(fused[key]), np.asarray(mapped[key]),
+            rtol=1e-4, atol=1e-4, err_msg=key,
+        )
+
+
+def test_batch_map_anny_matches_fused():
+    from multihmr_tpu.models.multihmr_anny import AnnyConfig, MultiHMRAnny
+    from multihmr_tpu.bodymodel.anny import NUM_BONES, synthetic_anny_model
+
+    cfg = AnnyConfig(
+        img_size=56, xat_dim=32, xat_depth=1, xat_heads=2, xat_dim_head=8,
+        xat_mlp_dim=64, max_people=3, compute_dtype="float32",
+        vit_override=TINY_VIT,
+    )
+    model = MultiHMRAnny(
+        cfg, synthetic_anny_model(num_vertices=64, num_bones=NUM_BONES),
+        person_center_idx=5,
+    )
+    params = model.init_params(jax.random.PRNGKey(0))
+    B = 2
+    x = jax.random.normal(jax.random.PRNGKey(3), (B, 56, 56, 3))
+    fused = model.forward(params, x, None, det_thresh=0.3, batch_mode="fused")
+    mapped = model.forward(params, x, None, det_thresh=0.3, batch_mode="map")
+    for key in ("loc", "transl", "v3d", "j2d", "K"):
+        np.testing.assert_allclose(
+            np.asarray(fused[key]), np.asarray(mapped[key]),
+            rtol=1e-5, atol=1e-4, err_msg=key,
+        )
