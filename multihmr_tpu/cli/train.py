@@ -36,6 +36,26 @@ def build_argparser():
     p.add_argument("--subsample", type=int, default=1)
     # optim (reference train.py:514,570)
     p.add_argument("--lr", type=float, default=5e-6)
+    # parallelism (TPU-native addition — the reference is single-GPU,
+    # SURVEY §2.3; validated by parallel/dryrun.py on an 8-device mesh)
+    p.add_argument(
+        "--n_devices", type=int, default=0,
+        help="devices to train on (0 = all visible; 1 = single-device path)",
+    )
+    p.add_argument(
+        "--model_parallel", type=int, default=1,
+        help="size of the mesh 'model' axis (Megatron TP over ViT heads; "
+        "must divide n_devices and the backbone head count)",
+    )
+    p.add_argument(
+        "--tp_mode", type=str, default="heads", choices=("heads", "ring"),
+        help="model-axis strategy: 'heads' = Megatron TP, 'ring' = "
+        "sequence-parallel ring attention",
+    )
+    p.add_argument(
+        "--fsdp", type=int, default=0,
+        help="1 = ZeRO/FSDP: shard large params + Adam moments over 'data'",
+    )
     # logging / ckpt
     p.add_argument("--name", type=str, default="run")
     p.add_argument("--logdir", type=str, default="logs")
@@ -81,7 +101,27 @@ def main():
     gt_bm, _ = load_body_model(11) if cfg.num_betas != 11 else (bm, real)
     if not real:
         print("WARNING: SMPL-X assets not found — using the synthetic body model")
-    model = MultiHMR(cfg, bm)
+
+    n_dev = args.n_devices or len(jax.devices())
+    mesh = None
+    if n_dev > 1 or args.model_parallel > 1 or args.fsdp:
+        from multihmr_tpu.parallel import make_mesh
+
+        assert n_dev % args.model_parallel == 0, (n_dev, args.model_parallel)
+        data_size = n_dev // args.model_parallel
+        assert args.batch_size % data_size == 0, (
+            f"batch_size {args.batch_size} must divide over the data axis "
+            f"({data_size})"
+        )
+        mesh = make_mesh(
+            n_dev, model_parallel=args.model_parallel,
+            devices=jax.devices()[:n_dev],
+        )
+        print(
+            f"mesh: data={data_size} x model={args.model_parallel} "
+            f"({args.tp_mode}), fsdp={bool(args.fsdp)}"
+        )
+    model = MultiHMR(cfg, bm, mesh=mesh, tp_mode=args.tp_mode)
 
     if args.pretrained:
         if args.pretrained.endswith(".msgpack"):
@@ -111,17 +151,25 @@ def main():
         }
     )
 
+    # Eval runs single-device (batch 1 per image, reference train.py:506):
+    # under a mesh the train params are gathered to host and fed to a
+    # mesh-free twin so the B=1 eval batches never hit the data-axis
+    # sharding constraint.
+    eval_model = model if mesh is None else MultiHMR(cfg, bm)
+
     def run_eval(params, epoch):
+        if mesh is not None:
+            params = jax.device_get(params)
         if args.valset == "ehf":
             from multihmr_tpu.data.ehf import EHF
 
             ds = EHF(img_size=cfg.img_size)
-            res = evaluate_dataset(model, params, ds)
+            res = evaluate_dataset(eval_model, params, ds)
         elif args.valset == "3dpw":
             from multihmr_tpu.data.threedpw import THREEDPW
 
             ds = THREEDPW(img_size=cfg.img_size, subsample=args.subsample)
-            res = evaluate_dataset(model, params, ds)
+            res = evaluate_dataset(eval_model, params, ds)
         else:
             raise ValueError(args.valset)
         logger.scalars(res, epoch, prefix=f"{args.valset}-test-{args.subsample}/")
@@ -172,6 +220,8 @@ def main():
         checkpoint_dir=os.path.join(args.ckptdir, args.name),
         nb_max_ckpt=args.nb_max_ckpt,
         gt_body_model=gt_bm,
+        mesh=mesh,
+        fsdp=bool(args.fsdp),
     )
     trainer.fit(params, data_iter, epochs=args.n_epoch, eval_fn=run_eval)
 

@@ -187,6 +187,16 @@ class Trainer:
     # an 11-beta neutral SMPL-X (train.py:41-43, 99-110) even when the
     # model regresses 10 betas; None = reuse the model's body model.
     gt_body_model: Optional[Any] = None
+    # Multi-chip training (TPU-native addition; the reference is single-GPU,
+    # SURVEY §2.3): a jax.sharding.Mesh with (data, model) axes. The model
+    # must have been built with the SAME mesh (MultiHMR(..., mesh=mesh)) so
+    # its attention dispatch shards; fit() then shards params (TP rules +
+    # optional ZeRO/FSDP over 'data'), Adam moments, and every batch, and
+    # runs the step under the mesh. Validated end-to-end by
+    # parallel/dryrun.py on a hermetic 8-device CPU mesh.
+    mesh: Optional[Any] = None
+    fsdp: bool = False
+    fsdp_min_size: int = 1 << 16  # don't shard params below this many elems
 
     def __post_init__(self):
         # GT targets must be centered on the SAME joint as the model's
@@ -207,11 +217,41 @@ class Trainer:
         eval_fn: Optional[Callable] = None,
         start_epoch: int = 0,
     ):
+        import contextlib
         import time
 
         from multihmr_tpu.train.metrics import AverageMeter
 
-        opt_state = self.optimizer.init(params)
+        if self.mesh is not None:
+            from multihmr_tpu.parallel import (
+                batch_sharding,
+                opt_state_shardings,
+                param_shardings,
+            )
+
+            psh = param_shardings(
+                self.mesh, params, fsdp=self.fsdp,
+                fsdp_min_size=self.fsdp_min_size,
+            )
+            params = jax.device_put(params, psh)
+            with self.mesh:
+                # explicit out_shardings: optax init is zeros_like (no data
+                # dependency), so propagation alone would leave the moments
+                # replicated and forfeit the ZeRO memory win
+                opt_state = jax.jit(
+                    self.optimizer.init,
+                    out_shardings=opt_state_shardings(
+                        self.mesh, self.optimizer, params, psh
+                    ),
+                )(params)
+            shard_batch = lambda b: jax.device_put(
+                b, batch_sharding(self.mesh, b)
+            )
+            mesh_ctx = lambda: self.mesh
+        else:
+            opt_state = self.optimizer.init(params)
+            shard_batch = lambda b: b
+            mesh_ctx = contextlib.nullcontext
         for epoch in range(start_epoch, epochs):
             n, running = 0, 0.0
             # workload meters (reference train.py:232-234, 310-328): time in
@@ -220,9 +260,10 @@ class Trainer:
             t_end = time.perf_counter()
             for batch in data_iter_fn():
                 t_data = time.perf_counter() - t_end
-                params, opt_state, terms = self.train_step(
-                    params, opt_state, batch, epoch
-                )
+                with mesh_ctx():
+                    params, opt_state, terms = self.train_step(
+                        params, opt_state, shard_batch(batch), epoch
+                    )
                 running += float(terms["total"])  # blocks on the step
                 t_batch = time.perf_counter() - t_end
                 meters["data"].update(t_data)
