@@ -9,12 +9,15 @@ Baseline: 126 ms/img on V100-32GB (reference README.md:87,95; BASELINE.md).
 throughput, and 1288_L, and writes ``BENCH_SWEEP.json`` next to this file —
 the driver-collectable evidence for the README performance table.
 
-Methodology: the axon tunnel adds ~25 ms of host↔device readback latency, so
-latency is measured by running ITERS chained forwards inside one jit (each
-iteration consumes the previous output so nothing is elided) and dividing —
-the same way a production pipeline amortizes dispatch. The median of
-REPEATS runs is reported after dropping the slowest (one-off remote-compile
-or tunnel hiccups showed up as isolated +20% outliers).
+Methodology: the axon tunnel adds ~25 ms of host↔device round-trip latency,
+so latency is measured by the TWO-LENGTH SLOPE (utils/profiling.py): one jit
+program chains n dependent forwards (a dynamic-trip-count fori_loop — ONE
+compile serves every n), timed at n=ITERS and n=2·ITERS back-to-back;
+per-image latency = (t_long − t_short)/ITERS, so the round-trip constant
+cancels EXACTLY. The previous subtract-a-measured-nop method under-reported
+models whose whole chain fits inside one tunnel round-trip (672_S read
+0.52 ms vs the true 2.6 ms); the slope method is immune. The median of
+REPEATS slope pairs is reported.
 """
 
 import json
@@ -44,12 +47,13 @@ REPEATS = 7
 
 
 def measure_model(name: str, batch: int = 1, on_provisional=None) -> float:
-    """p50 per-image latency (ms) of ``name`` at the given batch size.
+    """p50 per-image latency (ms) of ``name`` at the given batch size,
+    measured by the two-length slope (see module docstring).
 
     ``on_provisional(ms)``: called with a first estimate after only 3
-    measured repeats — the driver-timeout hardening hook: main() prints a
-    parseable JSON line the moment it fires, so even a run killed mid-bench
-    leaves the flagship number in the output tail.
+    measured slope pairs — the driver-timeout hardening hook: main() prints
+    a parseable JSON line the moment it fires, so even a run killed
+    mid-bench leaves the flagship number in the output tail.
     """
     model, _ = build_model(name)
     cfg = model.cfg
@@ -68,44 +72,32 @@ def measure_model(name: str, batch: int = 1, on_provisional=None) -> float:
     )
 
     @jax.jit
-    def chained(params, x):
-        def body(carry, _):
+    def chained(params, x, n):
+        # dynamic trip count: ONE executable serves both slope lengths
+        # (a static scan length would compile the flagship twice)
+        def body(_, carry):
             out = model.forward(params, carry, K, det_thresh=0.3, nms_kernel_size=3)
             # feed a scalar of the output back into the next input so the
             # compiler cannot overlap-eliminate iterations
-            feedback = jnp.sum(out["v3d"]) * 1e-12
-            return carry + feedback, None
-        final, _ = jax.lax.scan(body, x, None, length=ITERS)
-        return jnp.sum(final)
+            return carry + jnp.sum(out["v3d"]) * 1e-12
+        return jnp.sum(jax.lax.fori_loop(0, n, body, x))
 
     for _ in range(2):  # compile + genuine warmup (first post-compile run
-        _ = float(chained(params, x))  # can pay one-off cache/load costs)
+        _ = float(chained(params, x, 2 * ITERS))  # pays one-off load costs)
 
-    # measured readback/dispatch constant, amortized over the same ITERS
-    # (before the repeat loop so the provisional estimate can subtract it)
-    @jax.jit
-    def nop(x):
-        return jnp.sum(x)
-    float(nop(x))
-    lat = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        float(nop(x))
-        lat.append(time.perf_counter() - t0)
-    overhead = np.median(lat) / ITERS
-
-    def p50_of(samples):
-        kept = sorted(samples)[: max(3, len(samples) - 2)]  # drop outlier tail
-        return float(max(np.median(kept) - overhead, 1e-9) * 1e3) / batch
-
-    times = []
+    slopes = []
     for r in range(REPEATS):
+        # short/long adjacent in time so tunnel drift cancels within a pair
         t0 = time.perf_counter()
-        float(chained(params, x))
-        times.append((time.perf_counter() - t0) / ITERS)
+        float(chained(params, x, ITERS))
+        t_short = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(chained(params, x, 2 * ITERS))
+        t_long = time.perf_counter() - t0
+        slopes.append((t_long - t_short) / ITERS)
         if r == 2 and on_provisional is not None:
-            on_provisional(p50_of(times))
-    return p50_of(times)
+            on_provisional(float(np.median(slopes)) * 1e3 / batch)
+    return float(np.median(slopes)) * 1e3 / batch
 
 
 def emit_flagship(p50: float) -> None:
@@ -125,8 +117,14 @@ def emit_flagship(p50: float) -> None:
 def main():
     sweep = "--sweep" in sys.argv
     # the provisional emit (3 repeats in) makes a driver-timeout run still
-    # leave a parseable line; the final line supersedes it when we get there
-    p50 = measure_model("multiHMR_896_L", on_provisional=emit_flagship)
+    # leave a parseable line; the final line supersedes it when we get there.
+    # One retry: the remote compile service occasionally drops a connection
+    # mid-compile ("response body closed") — transient, observed ~1/10 runs.
+    try:
+        p50 = measure_model("multiHMR_896_L", on_provisional=emit_flagship)
+    except Exception as e:  # pragma: no cover - remote-compile flake
+        print(f"# flagship attempt 1 failed ({e}); retrying", file=sys.stderr)
+        p50 = measure_model("multiHMR_896_L", on_provisional=emit_flagship)
     emit_flagship(p50)
     if not sweep:
         return
@@ -139,26 +137,37 @@ def main():
                                   "vs_baseline": round(ref["multiHMR_896_L"] / p50, 2)}}
     for name in ("multiHMR_672_S", "multiHMR_672_B", "multiHMR_672_L",
                  "multiHMR_1288_L_bedlam", "multiHMR_672_L_anny"):
-        ms = measure_model(name)
+        try:
+            ms = measure_model(name)
+        except Exception as e:  # pragma: no cover - remote-compile flake
+            print(f"# {name} FAILED: {e}", file=sys.stderr)
+            results[name] = {"error": str(e)}
+            continue
         entry = {"p50_ms": round(ms, 3)}
         if name in ref:
             entry["vs_baseline"] = round(ref[name] / ms, 2)
         results[name] = entry
         print(f"# {name}: {ms:.2f} ms", file=sys.stderr)
-    ms8 = measure_model("multiHMR_672_B", batch=8)
-    results["multiHMR_672_B_batch8"] = {
-        "p50_ms_per_image": round(ms8, 3),
-        "throughput_img_s": round(1000.0 / ms8, 1),
-    }
-    ms4 = measure_model("multiHMR_896_L", batch=4)
-    results["multiHMR_896_L_batch4"] = {
-        "p50_ms_per_image": round(ms4, 3),
-        "throughput_img_s": round(1000.0 / ms4, 1),
-    }
+    for key, name, batch in (
+        ("multiHMR_672_B_batch8", "multiHMR_672_B", 8),
+        ("multiHMR_896_L_batch4", "multiHMR_896_L", 4),
+    ):
+        try:
+            msb = measure_model(name, batch=batch)
+        except Exception as e:  # pragma: no cover - remote-compile flake
+            print(f"# {key} FAILED: {e}", file=sys.stderr)
+            results[key] = {"error": str(e)}
+            continue
+        results[key] = {
+            "p50_ms_per_image": round(msb, 3),
+            "throughput_img_s": round(1000.0 / msb, 1),
+        }
+        print(f"# {key}: {msb:.2f} ms/img", file=sys.stderr)
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "BENCH_SWEEP.json")
     with open(out, "w") as f:
         json.dump({"device": jax.devices()[0].device_kind,
+                   "method": "two-length-slope",
                    "iters": ITERS, "repeats": REPEATS,
                    "results": results}, f, indent=1)
     print(f"# sweep written to {out}", file=sys.stderr)
