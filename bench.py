@@ -23,9 +23,6 @@ REPEATS slope pairs is reported.
 import json
 import os
 import sys
-import time
-
-import numpy as np
 
 import jax
 
@@ -40,6 +37,7 @@ import jax.numpy as jnp
 
 from multihmr_tpu.factory import build_model
 from multihmr_tpu.utils.precision import cast_backbone_bf16
+from multihmr_tpu.utils.profiling import latency_stats
 
 BASELINE_MS = 126.0  # multiHMR_896_L on V100 (reference README.md:87)
 ITERS = 8
@@ -71,33 +69,18 @@ def measure_model(name: str, batch: int = 1, on_provisional=None) -> float:
         (batch, 3, 3),
     )
 
-    @jax.jit
-    def chained(params, x, n):
-        # dynamic trip count: ONE executable serves both slope lengths
-        # (a static scan length would compile the flagship twice)
-        def body(_, carry):
-            out = model.forward(params, carry, K, det_thresh=0.3, nms_kernel_size=3)
-            # feed a scalar of the output back into the next input so the
-            # compiler cannot overlap-eliminate iterations
-            return carry + jnp.sum(out["v3d"]) * 1e-12
-        return jnp.sum(jax.lax.fori_loop(0, n, body, x))
+    def fwd(params, x):
+        return model.forward(params, x, K, det_thresh=0.3, nms_kernel_size=3)
 
-    for _ in range(2):  # compile + genuine warmup (first post-compile run
-        _ = float(chained(params, x, 2 * ITERS))  # pays one-off load costs)
-
-    slopes = []
-    for r in range(REPEATS):
-        # short/long adjacent in time so tunnel drift cancels within a pair
-        t0 = time.perf_counter()
-        float(chained(params, x, ITERS))
-        t_short = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        float(chained(params, x, 2 * ITERS))
-        t_long = time.perf_counter() - t0
-        slopes.append((t_long - t_short) / ITERS)
-        if r == 2 and on_provisional is not None:
-            on_provisional(float(np.median(slopes)) * 1e3 / batch)
-    return float(np.median(slopes)) * 1e3 / batch
+    # latency_stats = the ONE timing harness in this repo (CLAUDE.md rule 5):
+    # dynamic-trip-count chained fori_loop, two-length slope, data-dependent
+    # iterations; on_pair is the provisional-emit hook
+    on_pair = None
+    if on_provisional is not None:
+        on_pair = lambda ms: on_provisional(ms / batch)
+    st = latency_stats(fwd, (params, x), iters=ITERS, repeats=REPEATS,
+                       on_pair=on_pair)
+    return st["p50_ms"] / batch
 
 
 def emit_flagship(p50: float) -> None:

@@ -329,6 +329,8 @@ class MultiHMRAnny:
         # models/multihmr.py::MultiHMR.forward — same rationale/measurements;
         # the family is compute-saturated at batch 1, fused batched dense
         # lowers ~8-12% off roofline).
+        if batch_mode not in ("auto", "fused", "map"):
+            raise ValueError(f"unknown batch_mode {batch_mode!r}")
         use_map = batch_mode == "map" or (
             batch_mode == "auto"
             and x.shape[0] > 1

@@ -38,6 +38,12 @@ def mha_reference(
 _NEG = -1e30  # finite "masked" logit: exp(_NEG - m) underflows to 0
 _LOG2E = 1.4426950408889634
 _LN2 = 0.6931471805599453
+# Safety margin added to the sub-block-0 softmax offset (exp2-units): shifts
+# every p down by 2^-64 uniformly (cancelled exactly by /Σp and invisible in
+# the lse identity m + log2(l)) so a row whose true max sits in a LATER
+# sub-block overflows only past a ~178-unit gap instead of ~115. See the
+# comment at the m_step computation in _fwd_kernel.
+_SUB0_MARGIN = 64.0
 
 
 def _fwd_kernel(
@@ -96,17 +102,23 @@ def _fwd_kernel(
         sts.append(st)
 
     # Softmax offset from sub-block 0 ONLY (not the global max). Softmax is
-    # shift-invariant, so ANY offset within ~110 exp2-units of the true row
-    # max yields the exact result (fp32 accumulators and bf16 share the same
-    # 8-bit exponent: p = 2^gap neither over- nor underflows below that, and
-    # the final /Σp cancels the offset bit-exactly). Sub-block 0's per-row
-    # max over bsub ≥ 128 real keys is within a few units of the global max
-    # for any real attention distribution — far inside the bound. The win:
-    # the global max was a full VPU pass over every score element AND a
-    # barrier (no exp2/PV could start until all QK matmuls finished); with
-    # sub-0 only, sub-blocks t ≥ 1 pipeline QK(t)→exp2(t)→PV(t) freely.
+    # shift-invariant, so ANY offset within ~115 exp2-units ABOVE the true
+    # row max yields the exact result (fp32 p = 2^gap stays finite and the
+    # Σp accumulator below 2^127; the final /Σp cancels the offset
+    # bit-exactly). Sub-block 0's per-row max over bsub ≥ 128 real keys is
+    # within a few units of the global max for any real attention
+    # distribution. The +_SUB0_MARGIN (a scalar add on one [bq] vector per
+    # step — zero per-element cost) widens that overflow headroom to ~178
+    # exp2-units ≈ 123 nats of logit gap, covering even the extreme-norm
+    # outlier/sink tokens DINOv2 backbones are known to develop; the price
+    # is that keys > ~69 units below sub-0's max flush to zero in the bf16
+    # p, where their true softmax weight ≤ 2^-69 is far below fp32
+    # resolution anyway. The win vs the global max: that was a full VPU
+    # pass over every score element AND a barrier (no exp2/PV could start
+    # until all QK matmuls finished); with sub-0 only, sub-blocks t ≥ 1
+    # pipeline QK(t)→exp2(t)→PV(t) freely.
     # Measured (v5e, 896 shape, nsub=11): 0.77 → 0.64-0.72 ms/layer.
-    m_step = jnp.max(sts[0], axis=0)  # [bq]
+    m_step = jnp.max(sts[0], axis=0) + _SUB0_MARGIN  # [bq]
 
     D = q.shape[1]
 
@@ -355,9 +367,10 @@ def _fwd_kernel_t(
         sts.append(st)
 
     # Sub-block-0 softmax offset — see the matching comment in _fwd_kernel:
-    # exact by shift-invariance (offset within ~110 exp2-units of the true
-    # max), removes the QK→softmax barrier and (nsub-1)/nsub of the max pass.
-    m_step = jnp.max(sts[0], axis=0)
+    # exact by shift-invariance, removes the QK→softmax barrier and
+    # (nsub-1)/nsub of the max pass; +_SUB0_MARGIN buys ~178 exp2-units of
+    # outlier-logit headroom at zero per-element cost.
+    m_step = jnp.max(sts[0], axis=0) + _SUB0_MARGIN
 
     Dh = q.shape[0]
 

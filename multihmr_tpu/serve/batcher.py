@@ -109,6 +109,10 @@ class DynamicBatcher:
         self.stats = BatcherStats()
         self._q: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
+        # serializes submit's {closed-check + enqueue} against close's
+        # {stop + drain}: without it a request could land in the queue after
+        # the drain and block its caller for the full timeout
+        self._close_lock = threading.Lock()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -116,7 +120,10 @@ class DynamicBatcher:
     def submit(self, x: np.ndarray, K: np.ndarray, timeout: float = 60.0):
         """Block until this request's result is ready; raises on worker error."""
         req = _Request(np.asarray(x), np.asarray(K))
-        self._q.put(req)
+        with self._close_lock:
+            if self._stop.is_set():
+                raise RuntimeError("batcher closed")  # fail fast on shutdown
+            self._q.put(req)
         if not req.done.wait(timeout):
             raise TimeoutError("inference request timed out")
         if req.error is not None:
@@ -128,13 +135,15 @@ class DynamicBatcher:
         self._worker.join(timeout=5)
         # Fail any requests still queued (never dispatched): their submit()
         # callers would otherwise block for the full timeout during shutdown.
-        while True:
-            try:
-                req = self._q.get_nowait()
-            except queue.Empty:
-                break
-            req.error = RuntimeError("batcher closed")
-            req.done.set()
+        # Under the lock: no new request can be enqueued after this drain.
+        with self._close_lock:
+            while True:
+                try:
+                    req = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                req.error = RuntimeError("batcher closed")
+                req.done.set()
 
     # --------------------------------------------------------------- worker
     def _collect(self, first_timeout: float = 0.1) -> List[_Request]:

@@ -50,8 +50,15 @@ def build_batched_infer(model, params, max_batch: int = 8,
 
     from multihmr_tpu.serve.batcher import DynamicBatcher
 
+    # batch_mode: the model object is built mesh-less here, so its "auto"
+    # would pick lax.map even when THIS jit shards the batch over a mesh —
+    # and lax.map over a sharded batch axis serializes across the chips.
+    # Force "fused" for data-parallel serving; keep "auto" (= lax.map, same
+    # per-image latency as batch 1) on a single chip.
+    bm = "fused" if mesh is not None else "auto"
     body = lambda p, x, K: model.forward(
-        p, x, K, det_thresh=det_thresh, nms_kernel_size=nms_kernel_size
+        p, x, K, det_thresh=det_thresh, nms_kernel_size=nms_kernel_size,
+        batch_mode=bm,
     )
     if forward_fn is not None:
         fwd = forward_fn

@@ -110,55 +110,64 @@ def device_op_table(logdir: str, top: int = 25, runs: int = 1):
 
 
 def latency_stats(
-    fn: Callable, args: tuple, iters: int = 8, repeats: int = 5
+    fn: Callable, args: tuple, iters: int = 8, repeats: int = 5,
+    on_pair: Callable = None,
 ) -> Dict[str, float]:
     """Amortized per-call latency of ``fn(*args)`` (a jax-traceable function
-    returning a pytree): chains ``iters`` dependent calls in one jit and
-    divides, avoiding host round-trip pollution.
+    returning a pytree): chains n dependent calls inside one jit program
+    with a DYNAMIC trip count (``fori_loop``, so ONE compile serves every
+    n), timed at n=iters and n=2·iters back-to-back; per-call latency is
+    the slope (t_long − t_short)/iters — the host round-trip constant
+    (~25 ms through the TPU tunnel) cancels exactly, which matters for any
+    call whose whole chain fits inside one round-trip.
 
     IMPORTANT:
       * pass model parameters inside ``args`` — a closure over a large param
         tree inlines it as constants into the program and makes compilation
         pathological (gigabytes of literals for ViT-L);
       * iterations are made data-DEPENDENT (each call's input is perturbed by
-        the previous call's output) so XLA cannot hoist the loop-invariant
-        body and compute it once — without this the reported latency is
-        iters× too small."""
+        the running output sum) so XLA cannot hoist the loop-invariant body
+        and compute it once — without this the reported latency is iters×
+        too small.
+
+    ``on_pair(p50_ms_so_far)``: called after the 3rd slope pair — lets a
+    caller emit a provisional number before all repeats finish (bench.py's
+    driver-timeout hardening)."""
     # perturb the last float-dtype array argument with the running feedback
     perturb_idx = max(
         i for i, a in enumerate(args)
         if hasattr(a, "dtype") and jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
     )
 
-    import functools
-
-    @functools.partial(jax.jit, static_argnames=("length",))
-    def chained(*args, length):
-        def body(carry, _):
+    @jax.jit
+    def chained(n, *args):
+        def body(_, acc):
             cur = list(args)
-            cur[perturb_idx] = cur[perturb_idx] + carry * 1e-12
+            cur[perturb_idx] = cur[perturb_idx] + acc * 1e-12
             out = fn(*cur)
             leaves = jax.tree_util.tree_leaves(out)
-            s = sum(jnp.sum(l.astype(jnp.float32)) for l in leaves if hasattr(l, "astype"))
-            return carry + s * 1e-12, None
-        acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=length)
-        return acc
+            return acc + sum(
+                jnp.sum(l.astype(jnp.float32)) for l in leaves
+                if hasattr(l, "astype")
+            )
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
-    # Two-length slope: per-iteration time = (t(2k) - t(k)) / k. The host
-    # round-trip constant (25 ms through the TPU tunnel) cancels exactly.
-    for length in (iters, 2 * iters):
-        _ = float(chained(*args, length=length))  # compile + warmup
-    t_short, t_long = [], []
-    for _ in range(repeats):
+    for _ in range(2):  # compile + genuine warmup (first post-compile run
+        _ = float(chained(2 * iters, *args))  # can pay one-off load costs)
+    slopes = []
+    for r in range(repeats):
+        # short/long adjacent in time so tunnel drift cancels within a pair
         t0 = time.perf_counter()
-        float(chained(*args, length=iters))
-        t_short.append(time.perf_counter() - t0)
+        float(chained(iters, *args))
+        t_short = time.perf_counter() - t0
         t0 = time.perf_counter()
-        float(chained(*args, length=2 * iters))
-        t_long.append(time.perf_counter() - t0)
-    per_iter = (np.asarray(t_long) - np.asarray(t_short)) / iters
+        float(chained(2 * iters, *args))
+        t_long = time.perf_counter() - t0
+        slopes.append((t_long - t_short) / iters)
+        if r == 2 and on_pair is not None:
+            on_pair(float(1e3 * np.median(slopes)))
     return {
-        "p50_ms": float(1e3 * np.median(per_iter)),
-        "min_ms": float(1e3 * per_iter.min()),
+        "p50_ms": float(1e3 * np.median(slopes)),
+        "min_ms": float(1e3 * min(slopes)),
         "iters": iters,
     }

@@ -125,3 +125,34 @@ def test_mha_reference_t_matches_standard(rng):
     np.testing.assert_allclose(
         np.asarray(t(out_t)), np.asarray(mha_reference(q, k, v)), atol=1e-5
     )
+
+
+def test_sub0_offset_outlier_headroom(rng):
+    """An extreme outlier key in a LATER sub-block must not overflow the
+    sub-block-0 softmax offset. N=1024 runs as ONE kv step with nsub=2
+    (bsub=512); the outlier sits at index 600 (sub-block 1) with a logit
+    ~104 nats (~150 exp2-units) above sub-block 0's max — past the ~115-unit
+    naked-offset overflow bound, inside the +_SUB0_MARGIN headroom (~178).
+    DINOv2 backbones are known to develop extreme-norm sink tokens; without
+    the margin this produces p=inf → inf/inf NaN outputs."""
+    from multihmr_tpu.ops.attention import flash_attention_t
+
+    B, H, N, D = 1, 1, 1024, 64
+    c = 28.85  # c*c/sqrt(64) ≈ 104 nats ≈ 150 exp2-units
+    q = np.zeros((B, H, N, D), np.float32)
+    q[..., 0] = c
+    k = (0.02 * rng.normal(size=(B, H, N, D))).astype(np.float32)
+    k[0, 0, 600] = 0.0
+    k[0, 0, 600, 0] = c
+    v = rng.normal(size=(B, H, N, D)).astype(np.float32)
+    q, k, v = jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+
+    out_f = flash_attention(q, k, v, interpret=True)
+    ref = mha_reference(q, k, v)  # global-max softmax: immune by design
+    assert np.isfinite(np.asarray(out_f)).all(), "sub-0 offset overflowed"
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(ref), atol=2e-5)
+
+    t = lambda x: x.transpose(0, 1, 3, 2)
+    out_t = flash_attention_t(t(q), t(k), t(v), None, True)
+    assert np.isfinite(np.asarray(out_t)).all()
+    np.testing.assert_allclose(np.asarray(t(out_t)), np.asarray(ref), atol=2e-5)

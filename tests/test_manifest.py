@@ -158,3 +158,10 @@ def test_capture_stages_shapes_and_order():
     assert st["max_abs"] == 0.0
     st2 = _delta_stats(stages["backbone"], stages["backbone"] + 1e-3)
     assert 0.9e-3 < st2["max_abs"] < 1.1e-3
+    # the returned out must be the FULL forward (body-model keys included):
+    # the harness feeds it straight into extract_persons for the PVE stage —
+    # regression for the net-only out that KeyError'd there
+    persons = model.extract_persons(out)[0]
+    assert len(persons) == n_valid
+    for p in persons:
+        assert "v3d" in p and "transl_pelvis" in p

@@ -85,7 +85,13 @@ def capture_stages(model, params, x, K, det_thresh, nms_kernel_size):
         "hph_betas": np.asarray(out["shape"])[0][valid],
         "hph_cam": np.asarray(out["dist_postprocessed"])[0][valid][:, 0],
     }
-    return out, stages
+    # ``out`` above is the NET-only output (no body-model keys): the PVE
+    # comparison downstream needs v3d/transl_pelvis, so run the full forward
+    # too — same inputs, deterministic, so detections/stage tensors agree.
+    out_full = model.forward(
+        params, x, K, det_thresh=det_thresh, nms_kernel_size=nms_kernel_size
+    )
+    return out_full, stages
 
 
 def run_check_assets(assets_dir: str) -> int:
