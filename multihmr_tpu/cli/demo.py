@@ -1,7 +1,7 @@
 """Batch-inference CLI — the analogue of reference demo.py:244-384.
 
 Usage:
-    python -m multihmr_tpu.cli.demo --img_folder example_data --out_folder out \
+    python -m multihmr_tpu.cli.demo --img_folder /path/to/images --out_folder out \
         --model_name multiHMR_896_L [--ckpt path.pt] [--det_thresh 0.3] \
         [--nms_kernel_size 3] [--fov 60] [--save_mesh] [--distance]
 
