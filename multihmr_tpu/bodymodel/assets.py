@@ -77,6 +77,17 @@ def load_smplx_npz(
         exprdirs = shapedirs[..., SHAPE_SPACE_DIM : SHAPE_SPACE_DIM + num_expression]
         shapedirs = shapedirs[..., :num_betas]
     else:  # legacy assets pack 10 shape + 10 expression
+        if num_betas > 10:
+            # the 11th beta does not exist in a 20-column asset — slicing
+            # past 10 would hand expression column 0 to BOTH beta 10 and
+            # expression 0, silently corrupting every shaped vertex (the
+            # smplx package caps num_betas at 10 for these assets)
+            raise ValueError(
+                f"num_betas={num_betas} needs the {SHAPE_SPACE_DIM}-column "
+                f"SMPL-X shape space; this legacy asset has "
+                f"{shapedirs.shape[-1]} columns (10 shape + expression). "
+                "Use num_betas<=10 or the full official npz."
+            )
         exprdirs = shapedirs[..., 10 : 10 + num_expression]
         shapedirs = shapedirs[..., :num_betas]
     posedirs = _to_np(data["posedirs"]).astype(np.float32)

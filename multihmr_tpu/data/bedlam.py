@@ -154,9 +154,12 @@ class BEDLAM:
         annot["imagename"] = name
         rw, rh = annot["size"]
 
-        K = np.eye(3, dtype=np.float32)
-        K[[0, 1], [2, 2]] = self.img_size * (annot["princpt"] / [rw, rh])
-        K[[0, 1], [0, 1]] = annot["focal"] / (max(rw, rh) / self.img_size)
+        from multihmr_tpu.data.collate import square_canvas_K
+
+        # reference bedlam.py:208-213 K update (shared formula, collate.py)
+        K = square_canvas_K(
+            annot["focal"], annot["princpt"], annot["size"], self.img_size
+        )
 
         img_pil = Image.open(os.path.join(self.image_dir, name)).convert("RGB")
         # BEDLAM closeup rotation fix (reference datasets/bedlam.py:221-223)

@@ -38,6 +38,23 @@ def resize_with_K(
     return out, K
 
 
+def square_canvas_K(
+    focal: np.ndarray, princpt: np.ndarray, size_wh: Sequence[int], img_size: int
+) -> np.ndarray:
+    """Intrinsics for an image contain-resized + zero-padded to the square
+    ``img_size`` canvas: principal point scaled per-axis, focal re-derived
+    through the LONG side (the contain ratio). One shared implementation for
+    the formula every eval/train dataset needs — the reference writes it
+    per-dataset (bedlam.py:209-213 directly; ehf.py:135-145 and
+    threedpw.py:192-202 via an algebraically-identical FOV round-trip
+    ``img_size / (2·tan(atan(max/(2f))))``)."""
+    rw, rh = size_wh
+    K = np.eye(3, dtype=np.float32)
+    K[[0, 1], [2, 2]] = img_size * (np.asarray(princpt) / [rw, rh])
+    K[[0, 1], [0, 1]] = img_size * np.asarray(focal) / max(rw, rh)
+    return K
+
+
 def collate_padded(
     samples: Sequence[Dict], max_people: int, person_keys: Optional[List[str]] = None
 ) -> Dict[str, np.ndarray]:

@@ -99,14 +99,11 @@ class EHF:
         img_pil = ImageOps.contain(img_pil, (self.img_size, self.img_size))
         img_pil = ImageOps.pad(img_pil, size=(self.img_size, self.img_size))
         x = np.asarray(img_pil)
-        rw, rh = annot["size"]
-        # reference ehf.py:127-146 K update: principal point scaled to the
-        # square canvas, focal re-derived through the FOV of the long side.
-        K = np.eye(3, dtype=np.float32)
-        K[[0, 1], [2, 2]] = self.img_size * (annot["princpt"] / [rw, rh])
-        max_side = max(rw, rh)
-        K[0, 0] = self.img_size * annot["focal"][0] / max_side
-        K[1, 1] = self.img_size * annot["focal"][1] / max_side
-        annot["K"] = K
+        from multihmr_tpu.data.collate import square_canvas_K
+
+        # reference ehf.py:127-146 K update (shared formula, collate.py)
+        annot["K"] = square_canvas_K(
+            annot["focal"], annot["princpt"], annot["size"], self.img_size
+        )
         annot.pop("princpt"), annot.pop("focal")
         return normalize_nhwc(x), annot

@@ -44,11 +44,31 @@ class THREEDPW:
             self.imagenames = self.imagenames[::subsample]
 
     def build_dataset(self) -> dict:
+        import jax
         import jax.numpy as jnp
 
         from multihmr_tpu.bodymodel.assets import load_smpl_pkl
         from multihmr_tpu.bodymodel.core import lbs_forward
         from multihmr_tpu.ops.rotations import rotvec_to_rotmat, rotmat_to_rotvec
+
+        # ONE jitted program per gender (the kinematic unroll needs a STATIC
+        # parents table, so the body model is closed over — ~20 MB of SMPL
+        # constants, nowhere near the GB-scale closure hazard): the eager
+        # form dispatched 100+ individual ops per person per frame, each
+        # paying the remote-dispatch round trip on a tunneled TPU (~25 ms
+        # each → hours over a full build).
+        def make_person_fwd(bm):
+            @jax.jit
+            def person_fwd(poses, shape, R):
+                root_R = R @ rotvec_to_rotmat(poses[0])
+                root_pose = rotmat_to_rotvec(root_R)
+                rots = rotvec_to_rotmat(
+                    jnp.concatenate([root_pose[None], poses[1:]], 0)[None]
+                )
+                out = lbs_forward(bm, rots, shape[None])
+                return root_pose, out["vertices"][0], out["joints"][0]
+
+            return person_fwd
 
         layers = {
             "male": load_smpl_pkl(os.path.join(self.smpl_dir, "smpl", "SMPL_MALE.pkl")),
@@ -56,6 +76,7 @@ class THREEDPW:
                 os.path.join(self.smpl_dir, "smpl", "SMPL_FEMALE.pkl")
             ),
         }
+        fwds = {g: make_person_fwd(bm) for g, bm in layers.items()}
         from PIL import Image
 
         annots = {}
@@ -87,30 +108,17 @@ class THREEDPW:
                     shape = meta["betas"][i][:10]
                     gender = "male" if meta["genders"][i] == "m" else "female"
                     # bake camera rotation into the root (reference
-                    # threedpw.py:119-141)
-                    root_R = np.asarray(
-                        rotvec_to_rotmat(jnp.asarray(poses[0], jnp.float32))
-                    )
-                    root_R = R @ root_R
-                    root_pose = np.asarray(
-                        rotmat_to_rotvec(jnp.asarray(root_R, jnp.float32))
-                    )
-                    bm = layers[gender]
-                    rots = np.asarray(
-                        rotvec_to_rotmat(
-                            jnp.asarray(
-                                np.concatenate(
-                                    [root_pose.reshape(1, 3), poses[1:]], 0
-                                )[None],
-                                jnp.float32,
-                            )
+                    # threedpw.py:119-141) — one jitted dispatch per person
+                    root_pose, v3d, j3d = jax.device_get(
+                        fwds[gender](
+                            jnp.asarray(poses, jnp.float32),
+                            jnp.asarray(shape, jnp.float32),
+                            jnp.asarray(R, jnp.float32),
                         )
                     )
-                    out = lbs_forward(
-                        bm, jnp.asarray(rots), jnp.asarray(shape[None], jnp.float32)
-                    )
-                    v3d = np.asarray(out["vertices"])[0]
-                    j3d = np.asarray(out["joints"])[0]
+                    root_pose = np.asarray(root_pose)
+                    v3d = np.asarray(v3d)
+                    j3d = np.asarray(j3d)
                     mesh_cam = v3d + trans.reshape(1, 3)
                     joint_cam = j3d + trans.reshape(1, 3)
                     root_cam = joint_cam[0, None, :]
@@ -151,13 +159,12 @@ class THREEDPW:
         img_pil = ImageOps.contain(img_pil, (self.img_size, self.img_size))
         img_pil = ImageOps.pad(img_pil, size=(self.img_size, self.img_size))
         x = np.asarray(img_pil)
-        rw, rh = annot["size"]
-        K = np.eye(3, dtype=np.float32)
-        K[[0, 1], [2, 2]] = self.img_size * (annot["princpt"] / [rw, rh])
-        max_side = max(rw, rh)
-        K[0, 0] = self.img_size * annot["focal"][0] / max_side
-        K[1, 1] = self.img_size * annot["focal"][1] / max_side
-        annot["K"] = K
+        from multihmr_tpu.data.collate import square_canvas_K
+
+        # reference threedpw.py:192-202 K update (shared formula, collate.py)
+        annot["K"] = square_canvas_K(
+            annot["focal"], annot["princpt"], annot["size"], self.img_size
+        )
         annot.pop("princpt"), annot.pop("focal")
         for hum in annot["humans"]:
             hum["smpl_gender_id"] = np.asarray(

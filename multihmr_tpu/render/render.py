@@ -89,8 +89,11 @@ def _rasterize(
         if len(fids) == 0:
             return
         dx = np.arange(win, dtype=np.float32)
-        px = xmin[fids][:, None] + dx[None]  # [F, W]
-        py = ymin[fids][:, None] + dx[None]
+        # keep the whole tier single-precision: int64 mins would upcast
+        # px/py and every barycentric/z intermediate to float64 (2× memory
+        # traffic on [F, W, W] tiles), and the native C++ twin is fp32
+        px = xmin[fids].astype(np.float32)[:, None] + dx[None]  # [F, W]
+        py = ymin[fids].astype(np.float32)[:, None] + dx[None]
         xs = px[:, None, :] + 0.5  # [F, 1, W]
         ys = py[:, :, None] + 0.5  # [F, W, 1]
         l1 = ((xs - a[:, None, None, 0]) * (c[:, None, None, 1] - a[:, None, None, 1])
@@ -133,7 +136,10 @@ def _rasterize(
         y0, y1 = max(ymin[f], 0), min(ymax[f] + 1, height)
         if x1 <= x0 or y1 <= y0:
             continue
-        xs, ys = np.meshgrid(np.arange(x0, x1) + 0.5, np.arange(y0, y1) + 0.5)
+        xs, ys = np.meshgrid(
+            np.arange(x0, x1, dtype=np.float32) + np.float32(0.5),
+            np.arange(y0, y1, dtype=np.float32) + np.float32(0.5),
+        )
         a, b, c = tri2d[f]
         det = (b[0] - a[0]) * (c[1] - a[1]) - (c[0] - a[0]) * (b[1] - a[1])
         if abs(det) < 1e-12:
@@ -325,9 +331,12 @@ def create_glb_scene(
         idx = add_accessor(add_view(f.tobytes(), 34963), 5125, f.size, "SCALAR")
         prim = {"attributes": {"POSITION": pos}, "indices": idx}
         if colors is not None:
-            c = colors[i] if isinstance(colors, (list, tuple)) and not np.isscalar(
-                colors[0]
-            ) else colors
+            # per-mesh colors may arrive as a list/tuple of RGB triples OR a
+            # [N, 3] numpy array (palette math output); a single RGB triple
+            # (any container, ndim == 1) applies to every mesh. float64 so
+            # Python-float inputs round-trip exactly into the JSON.
+            carr = np.asarray(colors, np.float64)
+            c = carr[i] if carr.ndim == 2 else carr
             materials.append(
                 {
                     "pbrMetallicRoughness": {

@@ -41,7 +41,14 @@ def render_view_from_angle(
     background: Optional[np.ndarray] = None,
 ):
     """Render the scene rotated ``angle_deg`` about the vertical axis through
-    the scene centroid (0° = original camera)."""
+    the scene centroid (0° = original camera). An empty scene renders the
+    bare background (white), matching reference utils/render.py:420-423."""
+    if len(l_mesh) == 0:
+        return (
+            background.copy()
+            if background is not None
+            else np.full((height, width, 3), 255, np.uint8)
+        )
     all_pts = np.concatenate([np.asarray(m) for m in l_mesh], 0)
     center = all_pts.mean(0)
     dist = max(np.linalg.norm(all_pts - center, axis=-1).max() * 2.5, 1.0)
@@ -86,16 +93,21 @@ def create_rotating_video(
     angle_range: float = 60.0,
     fps: int = 10,
 ) -> List[np.ndarray]:
-    """Frames sweeping ±angle_range° around the scene (reference
-    demo.py:188-241). Writes mp4 via imageio/cv2 when ``fn`` given."""
-    angles = np.concatenate(
-        [
-            np.linspace(0, angle_range, n_frames // 2),
-            np.linspace(angle_range, -0.0, n_frames - n_frames // 2),
-        ]
-    )
+    """Frames sweeping the scene like the reference's rotating video
+    (demo.py:188-241): centre → +angle_range (right) → centre →
+    −angle_range (left) → centre about the vertical axis, then centre →
+    +angle_range (top) → centre in elevation. Writes mp4 via imageio/cv2
+    when ``fn`` given. ``n_frames`` is the length of each directional leg."""
+    leg = max(n_frames // 2, 2)
+    out = np.linspace(0.0, angle_range, leg)
+    back = out[::-1][1:]
+    yaw = np.concatenate([out, back, -out[1:], -back])
     frames = [
-        render_view_from_angle(l_mesh, l_face, K, width, height, a) for a in angles
+        render_view_from_angle(l_mesh, l_face, K, width, height, a) for a in yaw
+    ]
+    frames += [
+        render_view_from_angle(l_mesh, l_face, K, width, height, 0.0, e)
+        for e in np.concatenate([out[1:], back])
     ]
     if fn is not None:
         _write_video(fn, frames, fps)

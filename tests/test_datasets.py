@@ -237,3 +237,28 @@ def test_create_jpeg_walks_and_resizes(tmp_path, rng):
     # no-resize mode: plain .jpg sibling, original size
     assert create_jpeg(str(tmp_path), target_size=None, log_freq=0) == 2
     assert Image.open(d / "wide.jpg").size == (120, 60)
+
+
+def test_square_canvas_K_matches_reference_fov_roundtrip():
+    """square_canvas_K (shared by EHF/3DPW/BEDLAM) must equal the reference's
+    FOV round-trip form (ehf.py:135-145 / threedpw.py:192-202):
+    img_size / (2·tan(atan(max_side/(2f)))) == img_size·f/max_side."""
+    from multihmr_tpu.data.collate import square_canvas_K
+
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        rw, rh = rng.integers(100, 4000, size=2)
+        focal = rng.uniform(200, 2000, size=2)
+        princpt = np.array([rw, rh]) * rng.uniform(0.3, 0.7, size=2)
+        img_size = int(rng.choice([336, 672, 896]))
+        K = square_canvas_K(focal, princpt, (rw, rh), img_size)
+        max_side = max(rw, rh)
+        fovx = 2 * np.arctan(max_side / (2 * focal[0]))
+        fovy = 2 * np.arctan(max_side / (2 * focal[1]))
+        np.testing.assert_allclose(K[0, 0], img_size / (2 * np.tan(fovx / 2)),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(K[1, 1], img_size / (2 * np.tan(fovy / 2)),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(
+            K[[0, 1], [2, 2]], img_size * (princpt / [rw, rh]), rtol=1e-6
+        )

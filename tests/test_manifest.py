@@ -165,3 +165,29 @@ def test_capture_stages_shapes_and_order():
     assert len(persons) == n_valid
     for p in persons:
         assert "v3d" in p and "transl_pelvis" in p
+
+
+def test_legacy_npz_rejects_num_betas_11(tmp_path):
+    """A legacy 20-column shapedirs packs 10 shape + 10 expression: asking
+    for 11 betas would hand expression column 0 to BOTH beta 10 and
+    expression 0 (silent GT corruption for --num_betas 11 training). The
+    loader must refuse loudly; 10 betas must still load, with exprdirs
+    starting exactly at column 10."""
+    import pytest as _pytest
+
+    from multihmr_tpu.bodymodel.assets import load_smplx_npz
+
+    p = tmp_path / "SMPLX_NEUTRAL.npz"
+    data = write_smplx_fixture(
+        p, shapedirs=np.random.default_rng(1).normal(
+            size=(10475, 3, 20)).astype(np.float32),
+    )
+    with _pytest.raises(ValueError, match="legacy asset"):
+        load_smplx_npz(str(p), num_betas=11)
+    bm = load_smplx_npz(str(p), num_betas=10)
+    np.testing.assert_array_equal(
+        np.asarray(bm.shapedirs), data["shapedirs"][..., :10]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(bm.exprdirs), data["shapedirs"][..., 10:20]
+    )

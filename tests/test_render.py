@@ -116,8 +116,18 @@ def test_side_views_and_video(tmp_path):
     assert set(views) == {"bis", "side45", "side90", "bev"}
     for v in views.values():
         assert v.shape == (64, 64, 3)
+    # full sweep: centre→right→centre→left→centre (yaw) + centre→top→centre
+    # (elevation), like reference demo.py:188-241; legs of n_frames//2 frames
+    # → 6·leg−5 total (the one-sided [0, +range] sweep was a bug)
     frames = create_rotating_video([verts], [faces], K, 48, 48, n_frames=4)
-    assert len(frames) == 4
+    assert len(frames) == 6 * 2 - 5
+    for fr in frames:
+        assert fr.shape == (48, 48, 3)
+    # empty scene: white frames, not a crash (reference utils/render.py:420)
+    from multihmr_tpu.render.views import render_view_from_angle
+
+    blank = render_view_from_angle([], [], K, 32, 24, 30.0)
+    assert blank.shape == (24, 32, 3) and (blank == 255).all()
 
 
 def test_get_bbox():
