@@ -9,6 +9,9 @@ Differences from the reference CLI (same flags, same outputs):
   * the forward is ONE jit-compiled XLA program reused across images (the
     reference pays python+dispatch per image and syncs per image,
     demo.py:333-338 — here only the final host fetch syncs);
+  * the loop is a one-stage software pipeline: image i+1's forward is
+    dispatched (async) before image i's host-side rendering/saves, so the
+    TPU computes under the host work instead of idling;
   * --ckpt converts a reference torch checkpoint on the fly; without it the
     model runs randomly initialized (useful for pipeline checks only).
 """
@@ -95,19 +98,37 @@ def main():
     except Exception:
         prefetched = {}
 
-    durations = []
-    for i, name in enumerate(img_paths):
+    def load_image(i, name):
         if i in prefetched:
-            x = prefetched[i][None]
             from PIL import Image
 
-            img_visu = Image.open(os.path.join(args.img_folder, name)).convert("RGB")
-        else:
-            x, img_visu = open_image(
-                os.path.join(args.img_folder, name), model.cfg.img_size, return_pil=True
-            )
-        t0 = time.time()
-        out = fwd(params, jnp.asarray(x), jnp.asarray(K_model))
+            img = Image.open(os.path.join(args.img_folder, name)).convert("RGB")
+            return prefetched[i][None], img
+        return open_image(
+            os.path.join(args.img_folder, name), model.cfg.img_size, return_pil=True
+        )
+
+    # Software pipeline: jax dispatch is async, so image i+1's forward is
+    # enqueued BEFORE image i's host-side work (extraction, rasterization,
+    # file writes) — the TPU computes under the host render instead of
+    # idling (the reference demo.py:333-338 serializes sync + render per
+    # image). One stage in flight keeps device memory flat; `durations`
+    # records dispatch→ready, i.e. residual device wait after overlap.
+    durations = []
+    wall_t0 = time.time()
+    pending = None  # (name, out, img_visu, t_dispatch)
+    for i, name in list(enumerate(img_paths)) + [(None, None)]:
+        nxt = None
+        if name is not None:
+            x, img_visu = load_image(i, name)
+            t0 = time.time()
+            nxt = (name, fwd(params, jnp.asarray(x), jnp.asarray(K_model)),
+                   img_visu, t0)
+        if pending is None:
+            pending = nxt
+            continue
+        name, out, img_visu, t0 = pending
+        pending = nxt
         jax.block_until_ready(out["v3d"])
         durations.append(time.time() - t0)
         humans = model.extract_persons(out)[0]
@@ -156,12 +177,17 @@ def main():
 
         print(
             f"{name}: {len(humans)} persons, "
-            f"{int(1000 * np.median(durations))} ms median -> {save_fn}"
+            f"{int(1000 * np.median(durations))} ms median wait -> {save_fn}"
         )
 
+    wall_s = time.time() - wall_t0
     summary = {
         "n_images": len(img_paths),
-        "p50_ms": float(1000 * np.median(durations)) if durations else None,
+        # dispatch→ready wait (device time left over after the host-render
+        # overlap), NOT model latency — bench.py measures that
+        "p50_wait_ms": float(1000 * np.median(durations)) if durations else None,
+        "wall_s": round(wall_s, 3),
+        "img_per_s": round(len(img_paths) / wall_s, 2) if img_paths else None,
     }
     print(json.dumps(summary))
 
