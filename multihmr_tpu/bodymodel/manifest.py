@@ -65,8 +65,19 @@ MEAN_PARAMS_SPEC: Dict[str, Tuple[Optional[int], ...]] = {
     "cam": (3,),
 }
 
-# minimum blendshape columns for the pipeline's num_betas/num_expression
+# minimum blendshape columns for the pipeline's num_betas/num_expression.
+# 20 is the legacy-npz floor (10 shape + 10 expression); the full official
+# SMPL-X space is 300 shape (+100 expression) columns, required by every
+# num_betas=11 path (assets.py:80 refuses legacy files there, matching the
+# reference's unconditional smplx.create(num_betas=11) at train.py:41).
 _MIN_SHAPEDIRS = {"SMPLX": 20, "SMPL": 10}
+_FULL_SHAPEDIRS_SMPLX = 300
+
+# the two locations factory.load_body_model actually probes (factory.py:42-48)
+_SMPLX_LOAD_PATHS = (
+    os.path.join("smplx", "SMPLX_NEUTRAL.npz"),
+    "SMPLX_NEUTRAL.npz",
+)
 
 
 def _shape_of(x) -> Tuple[int, ...]:
@@ -94,20 +105,38 @@ def _check_mapping(name: str, data, spec: Dict[str, Tuple[Optional[int], ...]],
         if len(got) == 3 and got[-1] < min_blend:
             problems.append(
                 f"{name}: shapedirs has {got[-1]} blend columns, "
-                f"need >= {min_blend} (num_betas 11 + expression slice)"
+                f"need >= {min_blend} (10 shape + 10 expression legacy floor)"
             )
     return problems
 
 
-def check_smplx_npz(path: str) -> List[str]:
-    """Problems list (empty = valid) for an ``SMPLX_*.npz`` asset."""
+def check_smplx_npz(path: str,
+                    warnings: Optional[List[str]] = None) -> List[str]:
+    """Problems list (empty = valid) for an ``SMPLX_*.npz`` asset.
+
+    A legacy 20-column asset is structurally valid for inference with
+    num_betas<=10 but is refused by every num_betas=11 path
+    (bodymodel/assets.py:80, loaded unconditionally by cli/train.py) — that
+    incompatibility is appended to ``warnings`` when given, so the manifest
+    and the loaders never disagree silently.
+    """
     try:
         data = np.load(path, allow_pickle=True)
     except Exception as e:  # unreadable file is a manifest problem too
         return [f"{os.path.basename(path)}: cannot load ({e})"]
-    return _check_mapping(
-        os.path.basename(path), data, SMPLX_NPZ_SPEC, _MIN_SHAPEDIRS["SMPLX"]
-    )
+    name = os.path.basename(path)
+    problems = _check_mapping(name, data, SMPLX_NPZ_SPEC,
+                              _MIN_SHAPEDIRS["SMPLX"])
+    if warnings is not None and "shapedirs" in data:
+        got = _shape_of(data["shapedirs"])
+        if (len(got) == 3
+                and _MIN_SHAPEDIRS["SMPLX"] <= got[-1] < _FULL_SHAPEDIRS_SMPLX):
+            warnings.append(
+                f"{name}: legacy {got[-1]}-column shapedirs — inference with "
+                f"num_betas<=10 only; training / GT prep (num_betas=11) "
+                f"needs the {_FULL_SHAPEDIRS_SMPLX}-column official npz"
+            )
+    return problems
 
 
 def check_smpl_pkl(path: str) -> List[str]:
@@ -142,12 +171,25 @@ def check_mean_params(path: str) -> List[str]:
     return problems
 
 
-def check_checkpoint(path: str) -> List[str]:
+def check_checkpoint(path: str,
+                     warnings: Optional[List[str]] = None) -> List[str]:
     """Structural check of a released ``multiHMR_*.pt`` (reference
-    demo.py:87-103 expects ``args`` + ``model_state_dict`` entries)."""
+    demo.py:87-103 expects ``args`` + ``model_state_dict`` entries).
+
+    A missing torch on the host is a verification limitation, not an asset
+    problem — it goes to ``warnings`` (when given) so a torch-less machine
+    does not flag every valid checkpoint as INVALID.
+    """
     try:
         import torch
-
+    except ImportError:
+        if warnings is not None:
+            warnings.append(
+                f"{os.path.basename(path)}: unverifiable "
+                "(torch not installed; structural check skipped)"
+            )
+        return []
+    try:
         ckpt = torch.load(path, map_location="cpu", weights_only=False)
     except Exception as e:
         return [f"{os.path.basename(path)}: cannot load ({e})"]
@@ -162,19 +204,25 @@ def check_assets_dir(assets_dir: str) -> Dict[str, object]:
     """Walk ``assets_dir`` and validate every recognized asset.
 
     Returns {"found": {relpath: n_problems}, "missing": [names],
-    "problems": [messages]}. Only SMPLX_NEUTRAL.npz is REQUIRED for the
-    demo/parity path; everything else is reported as missing but does not
-    make the manifest invalid (3DPW/train-only assets).
+    "problems": [messages], "warnings": [messages]}. Only SMPLX_NEUTRAL.npz
+    — at one of the two paths ``factory.load_body_model`` actually probes
+    (``<assets>/smplx/SMPLX_NEUTRAL.npz`` or ``<assets>/SMPLX_NEUTRAL.npz``)
+    — is REQUIRED for the demo/parity path; everything else is reported as
+    missing but does not make the manifest invalid (3DPW/train-only assets).
+    Warnings flag usable-but-limited assets (legacy shape space, skipped
+    torch verification) without invalidating the manifest.
     """
     found: Dict[str, int] = {}
     problems: List[str] = []
+    warnings: List[str] = []
     seen_names = set()
+    seen_rels = set()
     for dirpath, _dn, filenames in os.walk(assets_dir):
         for fn in filenames:
             path = os.path.join(dirpath, fn)
             rel = os.path.relpath(path, assets_dir)
             if fn.startswith("SMPLX_") and fn.endswith(".npz"):
-                p = check_smplx_npz(path)
+                p = check_smplx_npz(path, warnings)
             elif fn.startswith("SMPL_") and fn.endswith(".pkl"):
                 p = check_smpl_pkl(path)
             elif fn == "smpl_mean_params.npz":
@@ -198,15 +246,32 @@ def check_assets_dir(assets_dir: str) -> Dict[str, object]:
                 except Exception as e:
                     p = [f"J_regressor_h36m.npy: cannot load ({e})"]
             elif fn.startswith("multiHMR_") and fn.endswith(".pt"):
-                p = check_checkpoint(path)
+                p = check_checkpoint(path, warnings)
             else:
                 continue
             seen_names.add(fn)
+            seen_rels.add(rel)
             found[rel] = len(p)
             problems.extend(p)
     missing = []
-    if not any(n.startswith("SMPLX_") for n in seen_names):
+    # the REQUIRED check must match what the pipeline will actually load:
+    # a SMPLX npz at any other path silently falls back to the synthetic
+    # body model (factory.py:42-48) — exactly the failure the manifest
+    # exists to catch.
+    if not any(rel in seen_rels for rel in _SMPLX_LOAD_PATHS):
         missing.append("smplx/SMPLX_NEUTRAL.npz (REQUIRED for demo/parity)")
+        stray = sorted(
+            r for r in seen_rels
+            if os.path.basename(r).startswith("SMPLX_")
+            and r.endswith(".npz")
+        )
+        if stray:
+            problems.append(
+                f"SMPL-X npz found at {stray} but the loader only probes "
+                f"{list(_SMPLX_LOAD_PATHS)} (factory.load_body_model) — "
+                "move/rename it or the pipeline will silently use the "
+                "synthetic body model"
+            )
     for optional in ("smpl_mean_params.npz", "smplx2smpl.pkl",
                      "J_regressor_h36m.npy"):
         if optional not in seen_names:
@@ -215,4 +280,5 @@ def check_assets_dir(assets_dir: str) -> Dict[str, object]:
         missing.append("smpl/SMPL_MALE.pkl + SMPL_FEMALE.pkl (optional: 3DPW GT)")
     if not any(n.startswith("multiHMR_") for n in seen_names):
         missing.append("multiHMR_<res>_<size>.pt (released checkpoint)")
-    return {"found": found, "missing": missing, "problems": problems}
+    return {"found": found, "missing": missing, "problems": problems,
+            "warnings": warnings}

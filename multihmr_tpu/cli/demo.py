@@ -113,24 +113,26 @@ def main():
     # file writes) — the TPU computes under the host render instead of
     # idling (the reference demo.py:333-338 serializes sync + render per
     # image). One stage in flight keeps device memory flat; `durations`
-    # records dispatch→ready, i.e. residual device wait after overlap.
+    # records ONLY the block_until_ready stall, i.e. residual device wait
+    # after the host-render overlap (0 when the pipeline fully hides the
+    # device — timing from dispatch would re-count the host work between).
     durations = []
     wall_t0 = time.time()
-    pending = None  # (name, out, img_visu, t_dispatch)
+    pending = None  # (name, out, img_visu)
     for i, name in list(enumerate(img_paths)) + [(None, None)]:
         nxt = None
         if name is not None:
             x, img_visu = load_image(i, name)
-            t0 = time.time()
             nxt = (name, fwd(params, jnp.asarray(x), jnp.asarray(K_model)),
-                   img_visu, t0)
+                   img_visu)
         if pending is None:
             pending = nxt
             continue
-        name, out, img_visu, t0 = pending
+        name, out, img_visu = pending
         pending = nxt
+        t_blk = time.time()
         jax.block_until_ready(out["v3d"])
-        durations.append(time.time() - t0)
+        durations.append(time.time() - t_blk)
         humans = model.extract_persons(out)[0]
 
         w, h = (img_visu.size if hasattr(img_visu, "size") else img_visu.shape[1::-1])
@@ -183,8 +185,8 @@ def main():
     wall_s = time.time() - wall_t0
     summary = {
         "n_images": len(img_paths),
-        # dispatch→ready wait (device time left over after the host-render
-        # overlap), NOT model latency — bench.py measures that
+        # residual block_until_ready stall (device time left over after the
+        # host-render overlap), NOT model latency — bench.py measures that
         "p50_wait_ms": float(1000 * np.median(durations)) if durations else None,
         "wall_s": round(wall_s, 3),
         "img_per_s": round(len(img_paths) / wall_s, 2) if img_paths else None,

@@ -242,6 +242,17 @@ class MultiHMR:
         """
         if batch_mode not in ("auto", "fused", "map"):
             raise ValueError(f"unknown batch_mode {batch_mode!r}")
+        if batch_mode == "map" and (
+            is_training or gt_det is not None or self.mesh is not None
+        ):
+            # the mapped body is the inference batch-1 forward: it has no
+            # is_training/gt_det plumbing, and under a mesh lax.map would
+            # silently serialize the batch across devices — refuse loudly
+            # instead of dropping the arguments.
+            raise ValueError(
+                "batch_mode='map' is inference-only on a single device; "
+                "use 'fused' (or 'auto') with is_training/gt_det/mesh"
+            )
         use_map = batch_mode == "map" or (
             batch_mode == "auto"
             and x.shape[0] > 1
@@ -261,7 +272,6 @@ class MultiHMR:
 
             return jax.lax.map(one, (x, K))
 
-        c = self.cfg
         out = self.net.apply(
             params, x, K,
             det_thresh=det_thresh,
@@ -269,6 +279,13 @@ class MultiHMR:
             is_training=is_training,
             gt_det=gt_det,
         )
+        return self.apply_body_model(out, K)
+
+    def apply_body_model(self, out: dict, K: jax.Array) -> dict:
+        """Body-model stage of :meth:`forward`: net outputs → v3d/j3d/j2d/
+        v2d/transl keys merged into ``out``. Exposed separately so callers
+        that already hold the net outputs (e.g. the parity harness's stage
+        capture) don't pay a second full backbone forward."""
         B, Kcap = out["rotvec"].shape[:2]
 
         # body model over flattened [B*K] person slots
@@ -283,6 +300,7 @@ class MultiHMR:
             expression=flat(out["expression"]),
         )
         unflat = lambda t: t.reshape((B, Kcap) + t.shape[1:])
+        out = dict(out)
         out.update({k: unflat(v) for k, v in smpl_out.items()})
         return out
 

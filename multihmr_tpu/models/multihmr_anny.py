@@ -331,6 +331,16 @@ class MultiHMRAnny:
         # lowers ~8-12% off roofline).
         if batch_mode not in ("auto", "fused", "map"):
             raise ValueError(f"unknown batch_mode {batch_mode!r}")
+        if batch_mode == "map" and (
+            is_training or gt_det is not None or self.mesh is not None
+        ):
+            # same contract as MultiHMR.forward: the mapped body is the
+            # inference batch-1 forward — refuse rather than silently drop
+            # is_training/gt_det or serialize a sharded batch.
+            raise ValueError(
+                "batch_mode='map' is inference-only on a single device; "
+                "use 'fused' (or 'auto') with is_training/gt_det/mesh"
+            )
         use_map = batch_mode == "map" or (
             batch_mode == "auto"
             and x.shape[0] > 1

@@ -97,7 +97,8 @@ def create_rotating_video(
     (demo.py:188-241): centre → +angle_range (right) → centre →
     −angle_range (left) → centre about the vertical axis, then centre →
     +angle_range (top) → centre in elevation. Writes mp4 via imageio/cv2
-    when ``fn`` given. ``n_frames`` is the length of each directional leg."""
+    when ``fn`` given. Each directional leg has ``max(n_frames // 2, 2)``
+    frames, so the full sweep is roughly ``3 * n_frames`` frames total."""
     leg = max(n_frames // 2, 2)
     out = np.linspace(0.0, angle_range, leg)
     back = out[::-1][1:]

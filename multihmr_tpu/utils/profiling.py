@@ -165,9 +165,12 @@ def latency_stats(
         t_long = time.perf_counter() - t0
         slopes.append((t_long - t_short) / iters)
         if r == 2 and on_pair is not None:
-            on_pair(float(1e3 * np.median(slopes)))
+            on_pair(float(1e3 * max(np.median(slopes), 1e-6)))
+    # clamp: individual slopes can go <= 0 when tunnel-RTT noise dominates a
+    # very short chain (672_S: 8 iters ≈ 21 ms, below one ~25 ms round
+    # trip); a zero/negative p50 would poison downstream vs_baseline ratios
     return {
-        "p50_ms": float(1e3 * np.median(slopes)),
-        "min_ms": float(1e3 * min(slopes)),
+        "p50_ms": float(1e3 * max(np.median(slopes), 1e-6)),
+        "min_ms": float(1e3 * max(min(slopes), 1e-6)),
         "iters": iters,
     }

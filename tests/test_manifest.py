@@ -81,6 +81,43 @@ def test_assets_dir_report(tmp_path):
     assert any("smplx2smpl" in m for m in report["missing"])
 
 
+def test_assets_dir_requires_loadable_path(tmp_path):
+    """The REQUIRED check must track factory.load_body_model's probe paths:
+    a valid SMPLX npz at any OTHER location silently falls back to the
+    synthetic body model, so the manifest must flag it."""
+    (tmp_path / "body_models" / "smplx").mkdir(parents=True)
+    write_smplx_fixture(
+        tmp_path / "body_models" / "smplx" / "SMPLX_NEUTRAL.npz"
+    )
+    report = check_assets_dir(str(tmp_path))
+    assert any("REQUIRED" in m for m in report["missing"])
+    assert any("loader only probes" in p for p in report["problems"])
+    # moving it to a probed location clears both
+    (tmp_path / "SMPLX_NEUTRAL.npz").write_bytes(
+        (tmp_path / "body_models" / "smplx" / "SMPLX_NEUTRAL.npz").read_bytes()
+    )
+    report = check_assets_dir(str(tmp_path))
+    assert not any("REQUIRED" in m for m in report["missing"])
+
+
+def test_legacy_npz_manifest_warns_but_validates(tmp_path):
+    """A legacy 20-column asset is valid for inference (num_betas<=10) but
+    incompatible with every num_betas=11 path — the manifest must say so as
+    a warning without flipping to INVALID (matching assets.py:80's guard)."""
+    (tmp_path / "smplx").mkdir()
+    write_smplx_fixture(
+        tmp_path / "smplx" / "SMPLX_NEUTRAL.npz",
+        shapedirs=np.zeros((10475, 3, 20), np.float32),
+    )
+    report = check_assets_dir(str(tmp_path))
+    assert report["problems"] == []
+    assert any("legacy" in w and "num_betas" in w for w in report["warnings"])
+    # the full 400-column official asset produces no warning
+    write_smplx_fixture(tmp_path / "smplx" / "SMPLX_NEUTRAL.npz")
+    report = check_assets_dir(str(tmp_path))
+    assert report["warnings"] == []
+
+
 def test_check_assets_cli_green_on_fixture(tmp_path, capsys):
     """tools/parity_harness.py --check-assets exits 0 on a valid fixture
     tree and 1 when the required SMPL-X file is absent."""

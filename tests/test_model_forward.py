@@ -246,6 +246,29 @@ def test_batch_map_matches_fused():
         )
 
 
+def test_batch_map_rejects_training_args():
+    """Explicit ``batch_mode="map"`` with is_training/gt_det must raise:
+    the mapped body is the inference batch-1 forward, so those arguments
+    would otherwise be silently dropped (teacher-forced detections ignored,
+    losses computed against the wrong slots)."""
+    import pytest
+
+    model = make_model()
+    params = model.init_params(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 56, 56, 3))
+    K = default_K(2)
+    with pytest.raises(ValueError, match="inference-only"):
+        model.forward(params, x, K, is_training=True, batch_mode="map")
+    dets = model.forward(params, x, K, det_thresh=0.3)["det"]
+    with pytest.raises(ValueError, match="inference-only"):
+        model.forward(params, x, K, gt_det=dets, batch_mode="map")
+    # auto mode with the same arguments goes down the fused path fine
+    out = model.forward(params, x, K, gt_det=dets, batch_mode="auto")
+    np.testing.assert_array_equal(
+        np.asarray(out["det"].valid), np.asarray(dets.valid)
+    )
+
+
 def test_batch_map_anny_matches_fused():
     from multihmr_tpu.models.multihmr_anny import AnnyConfig, MultiHMRAnny
     from multihmr_tpu.bodymodel.anny import NUM_BONES, synthetic_anny_model

@@ -44,12 +44,16 @@ STAGE_KEYS = ("backbone", "det_logits", "hph_rotmat", "hph_betas", "hph_cam")
 
 
 def _delta_stats(ours: np.ndarray, ref: np.ndarray) -> dict:
-    ours = np.asarray(ours, np.float64).reshape(-1)
-    ref = np.asarray(ref, np.float64).reshape(-1)
+    ours = np.asarray(ours, np.float64)
+    ref = np.asarray(ref, np.float64)
+    # compare the ORIGINAL shapes before flattening: an equal-size layout
+    # mismatch (e.g. a transposed dump) must surface as a shape error, not
+    # as a gigantic-looking numerical delta
     if ours.shape != ref.shape:
-        return {"shape_ours": None, "error": "shape mismatch",
-                "ours": list(np.shape(ours)), "ref": list(np.shape(ref))}
-    d = np.abs(ours - ref)
+        return {"error": "shape mismatch",
+                "ours": list(ours.shape), "ref": list(ref.shape)}
+    d = np.abs(ours.reshape(-1) - ref.reshape(-1))
+    ref = ref.reshape(-1)
     return {
         "max_abs": float(d.max()) if d.size else 0.0,
         "mean_abs": float(d.mean()) if d.size else 0.0,
@@ -86,12 +90,10 @@ def capture_stages(model, params, x, K, det_thresh, nms_kernel_size):
         "hph_cam": np.asarray(out["dist_postprocessed"])[0][valid][:, 0],
     }
     # ``out`` above is the NET-only output (no body-model keys): the PVE
-    # comparison downstream needs v3d/transl_pelvis, so run the full forward
-    # too — same inputs, deterministic, so detections/stage tensors agree.
-    out_full = model.forward(
-        params, x, K, det_thresh=det_thresh, nms_kernel_size=nms_kernel_size
-    )
-    return out_full, stages
+    # comparison downstream needs v3d/transl_pelvis — run just the
+    # body-model stage on the captured net outputs (identical numerics,
+    # no second backbone forward).
+    return model.apply_body_model(out, K), stages
 
 
 def run_check_assets(assets_dir: str) -> int:
@@ -104,6 +106,8 @@ def run_check_assets(assets_dir: str) -> int:
               + ("" if n == 0 else f" ({n} problem(s))"))
     for m in report["missing"]:
         print(f"  [miss] {m}")
+    for w in report.get("warnings", []):
+        print(f"  [warn] {w}")
     for p in report["problems"]:
         print(f"  !! {p}")
     required_missing = any("REQUIRED" in m for m in report["missing"])
