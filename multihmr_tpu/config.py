@@ -84,8 +84,16 @@ class ModelConfig:
     # Numerics
     compute_dtype: str = "bfloat16"  # matmul/activation dtype inside the ViT
     param_dtype: str = "float32"
-    # Training-memory knob: rematerialize ViT blocks in the backward pass
+    # Training-memory knob: rematerialize ViT activations in the backward
+    # pass. remat_policy picks the granularity:
+    #   "block" — whole transformer block (max memory savings, but the
+    #             backward re-runs the flash-attention forward, the single
+    #             most expensive op);
+    #   "mlp"   — only the MLP (fc1 hidden state, the largest activation,
+    #             is recomputed; attention residuals stay saved, so the
+    #             backward never re-runs the flash forward).
     remat: bool = False
+    remat_policy: str = "block"
     # Testing/bench hook: replace the named backbone geometry with a custom one
     vit_override: Optional[ViTConfig] = None
 

@@ -94,6 +94,7 @@ class MultiHMRNet(nn.Module):
         # --- backbone (reference model.py:229) ---
         vit = DINOv2ViT(
             c.vit, grid_size=g, dtype=compute_dtype, remat=c.remat,
+            remat_policy=c.remat_policy,
             mesh=self.mesh, tp_mode=self.tp_mode, name="backbone",
         )
         z = vit(x)["patch_tokens"]  # [B, N, D] bf16

@@ -90,6 +90,9 @@ class AnnyConfig:
     n_joints: int = NUM_BONES
     max_people: int = 16
     compute_dtype: str = "bfloat16"
+    # training-memory knobs, same semantics as ModelConfig.remat/remat_policy
+    remat: bool = False
+    remat_policy: str = "block"
     vit_override: Optional[ViTConfig] = None
 
     @property
@@ -126,6 +129,7 @@ class AnnyEncoder(nn.Module):
         dt = jnp.dtype(c.compute_dtype)
         g = c.grid_size
         vit = DINOv2ViT(c.vit, grid_size=g, dtype=dt,
+                        remat=c.remat, remat_policy=c.remat_policy,
                         mesh=self.mesh, tp_mode=self.tp_mode, name="backbone")
         out = vit(x)
         feat = tokens_to_grid(out["patch_tokens"].astype(jnp.float32), g)  # [B,g,g,D]

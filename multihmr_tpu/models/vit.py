@@ -107,10 +107,15 @@ class Block(nn.Module):
     dtype: Any = jnp.bfloat16
     mesh: Any = None
     tp_mode: str = "heads"
+    # rematerialize ONLY the MLP in the backward pass (remat_policy="mlp"):
+    # drops the fc1 hidden state — the largest activation, 4·D·N per layer —
+    # while keeping attention residuals saved (no flash-forward re-run)
+    remat_mlp: bool = False
 
     @nn.compact
     def __call__(self, x, _scan_unused=None):
         c = self.cfg
+        mlp_cls = nn.remat(Mlp, prevent_cse=False) if self.remat_mlp else Mlp
         # LayerNorms run in fp32 for stability, outputs cast back to bf16.
         y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
         y = Attention(
@@ -119,7 +124,7 @@ class Block(nn.Module):
         )(y.astype(self.dtype))
         x = x + LayerScale(c.embed_dim, c.layerscale_init, self.dtype, name="ls1")(y)
         y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
-        y = Mlp(c.embed_dim, int(c.embed_dim * c.mlp_ratio), self.dtype, name="mlp")(
+        y = mlp_cls(c.embed_dim, int(c.embed_dim * c.mlp_ratio), self.dtype, name="mlp")(
             y.astype(self.dtype)
         )
         x = x + LayerScale(c.embed_dim, c.layerscale_init, self.dtype, name="ls2")(y)
@@ -246,10 +251,12 @@ class TBlock(nn.Module):
     mesh: Any = None
     tp_mode: str = "heads"
     kv_len: Any = None  # pre-padded stream: true token count
+    remat_mlp: bool = False  # see Block.remat_mlp
 
     @nn.compact
     def __call__(self, x, _scan_unused=None):
         c = self.cfg
+        mlp_cls = nn.remat(TMlp, prevent_cse=False) if self.remat_mlp else TMlp
         y = TLayerNorm(name="norm1", dtype=self.dtype)(x)
         y = TAttention(
             c.embed_dim, c.num_heads, self.dtype,
@@ -258,7 +265,7 @@ class TBlock(nn.Module):
         )(y.astype(self.dtype))
         x = x + TLayerScale(c.embed_dim, c.layerscale_init, self.dtype, name="ls1")(y)
         y = TLayerNorm(name="norm2", dtype=self.dtype)(x)
-        y = TMlp(c.embed_dim, int(c.embed_dim * c.mlp_ratio), self.dtype, name="mlp")(
+        y = mlp_cls(c.embed_dim, int(c.embed_dim * c.mlp_ratio), self.dtype, name="mlp")(
             y.astype(self.dtype)
         )
         x = x + TLayerScale(c.embed_dim, c.layerscale_init, self.dtype, name="ls2")(y)
@@ -274,6 +281,7 @@ class ScannedBlocks(nn.Module):
     cfg: ViTConfig
     dtype: Any = jnp.bfloat16
     remat: bool = False
+    remat_policy: str = "block"  # "block" | "mlp" — see ModelConfig.remat_policy
     mesh: Any = None
     tp_mode: str = "heads"
     transposed: bool = False
@@ -282,11 +290,26 @@ class ScannedBlocks(nn.Module):
     @nn.compact
     def __call__(self, tokens):
         block_cls = TBlock if self.transposed else Block
+        remat_mlp = False
         if self.remat:
-            # rematerialize each block in the backward pass: activation
-            # memory drops from O(depth·N·D) to O(N·D) at ~33% extra FLOPs —
-            # required for ViT-L-896 training batches (jax.checkpoint).
-            block_cls = nn.remat(block_cls, prevent_cse=False)
+            if self.remat_policy == "block":
+                # rematerialize each whole block in the backward pass:
+                # activation memory drops from O(depth·N·D) to O(N·D), but
+                # the backward re-runs every block forward INCLUDING the
+                # flash-attention kernel (the dominant op) — choose when
+                # memory is the binding constraint (jax.checkpoint).
+                block_cls = nn.remat(block_cls, prevent_cse=False)
+            elif self.remat_policy == "mlp":
+                # rematerialize only the MLP: drops the fc1 hidden state
+                # (4·D·N, the largest single activation) and keeps the
+                # attention residuals saved, so the backward recomputes two
+                # cheap dense layers instead of the flash forward.
+                remat_mlp = True
+            else:
+                raise ValueError(
+                    f"unknown remat_policy {self.remat_policy!r} "
+                    "(expected 'block' or 'mlp')"
+                )
         scan = nn.scan(
             block_cls,
             variable_axes={"params": 0},
@@ -296,7 +319,7 @@ class ScannedBlocks(nn.Module):
         kw = {"kv_len": self.kv_len} if self.transposed else {}
         return scan(
             self.cfg, self.dtype, mesh=self.mesh, tp_mode=self.tp_mode,
-            name="block", **kw
+            name="block", remat_mlp=remat_mlp, **kw
         )(tokens, None)[0]
 
 
@@ -313,6 +336,7 @@ class DINOv2ViT(nn.Module):
     dtype: Any = jnp.bfloat16
     scan_blocks: bool = True
     remat: bool = False
+    remat_policy: str = "block"
     mesh: Any = None
     tp_mode: str = "heads"
     # channels-major [B, D, N] residual stream through the blocks (see the
@@ -374,7 +398,7 @@ class DINOv2ViT(nn.Module):
                 kv_len = n_tok
         if self.scan_blocks:
             tokens = ScannedBlocks(
-                c, self.dtype, remat=self.remat,
+                c, self.dtype, remat=self.remat, remat_policy=self.remat_policy,
                 mesh=self.mesh, tp_mode=self.tp_mode, transposed=transposed,
                 kv_len=kv_len, name="blocks",
             )(tokens)

@@ -109,3 +109,38 @@ def test_prepadded_stream_grads_match_standard():
             np.asarray(b), np.asarray(a), atol=5e-4 * scale,
             err_msg=jax.tree_util.keystr(path),
         )
+
+
+def test_remat_policies_grads_match():
+    """remat is a pure scheduling choice: grads under remat_policy='block'
+    (whole-block recompute) and 'mlp' (fc1-hidden-only recompute; the
+    backward never re-runs the attention forward) must equal no-remat
+    grads. Covers both stream layouts; an unknown policy must raise."""
+    import pytest
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, 56, 56, 3)).astype(np.float32))
+    cfg = ViTConfig(embed_dim=64, depth=2, num_heads=4)
+
+    for transposed in (False, True):
+        def grads(remat, policy):
+            vit = DINOv2ViT(
+                cfg, grid_size=4, dtype=jnp.float32,
+                transposed_stream=transposed, remat=remat, remat_policy=policy,
+            )
+            p = vit.init(jax.random.PRNGKey(0), x)
+            loss = lambda p: jnp.sum(vit.apply(p, x)["patch_tokens"] ** 2)
+            return jax.jit(jax.grad(loss))(p)
+
+        g0 = jax.tree_util.tree_leaves(grads(False, "block"))
+        for policy in ("block", "mlp"):
+            g = jax.tree_util.tree_leaves(grads(True, policy))
+            for a, b in zip(g0, g):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), atol=1e-10,
+                    err_msg=f"{policy} transposed={transposed}",
+                )
+
+    vit = DINOv2ViT(cfg, grid_size=4, remat=True, remat_policy="typo")
+    with pytest.raises(ValueError, match="remat_policy"):
+        vit.init(jax.random.PRNGKey(0), x)

@@ -26,6 +26,12 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--steps", type=int, default=2)
     ap.add_argument(
+        "--remat_policy", default="mlp", choices=["block", "mlp", "none"],
+        help="'mlp' (default): recompute only the fc1 hidden state — the "
+        "backward never re-runs the flash-attention forward; 'block': full "
+        "block remat (max memory savings); 'none': no remat",
+    )
+    ap.add_argument(
         "--json", action="store_true",
         help="append the steady-state step time to BENCH_TRAIN.json "
         "(driver-collectable training-perf artifact)",
@@ -48,11 +54,17 @@ def main():
     from multihmr_tpu.models.multihmr import MultiHMR
     from multihmr_tpu.train.trainer import make_train_step
 
-    cfg = dataclasses.replace(named_config(args.model), remat=True, max_people=8)
+    cfg = dataclasses.replace(
+        named_config(args.model),
+        remat=args.remat_policy != "none",
+        remat_policy=args.remat_policy if args.remat_policy != "none" else "block",
+        max_people=8,
+    )
     bm = smplx_like_synthetic(cfg.num_betas)
     model = MultiHMR(cfg, bm)
     print(f"{args.model}: img={cfg.img_size} grid={cfg.grid_size} "
-          f"tokens={cfg.num_patches + 1} remat={cfg.remat}")
+          f"tokens={cfg.num_patches + 1} remat={cfg.remat} "
+          f"policy={cfg.remat_policy if cfg.remat else '-'}")
 
     params = model.init_params(jax.random.PRNGKey(0), batch_size=1)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
