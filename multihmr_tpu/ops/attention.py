@@ -679,6 +679,74 @@ def _bwd_dkv_kernel_t(
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
+def _bwd_fused_kernel_t(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
+    dk_ref, dv_ref, dqp_ref, dk_acc, dv_acc,
+    *, q_steps, bkv, kv_len, mask_kv,
+):
+    """Fused dK/dV/dQ-partials, channels-major, one (batch*head, kv-block)
+    program walking q.
+
+    The two-pass backward (``_bwd_dq_kernel_t`` + ``_bwd_dkv_kernel_t``)
+    recomputes the two D=64-contraction matmuls — s = kᵀ·q₂ and dp = vᵀ·dO,
+    the HALF-MXU-rate ones — in BOTH passes: 7 block matmuls where the math
+    needs 5. This kernel computes them once and emits, besides the dk/dv
+    accumulators, this kv-block's dq CONTRIBUTION ``k·ds`` for every
+    q block: partials land in a ``[B·H, kv_steps, Dh, Np]`` fp32 output
+    (each (j, i) grid cell writes its own block exactly once — no output
+    revisiting) and are summed outside. Measured v5e, ViT-L: the partial
+    sum's extra HBM traffic is far below the two deleted matmuls.
+
+    Masking note: padded-kv rows of p are zeroed here whenever a block
+    straddles kv_len (superset of what dq needs — zero-padded kv already
+    contributes nothing to dq through k=0, pre-padded junk must be masked).
+    """
+    q_i = pl.program_id(2)
+
+    @pl.when(q_i == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0]    # [Dh, bq] — pre-scaled by scale·log2(e)
+    k = k_ref[0]    # [Dh, bkv]
+    v = v_ref[0]
+    do = do_ref[0]  # bf16 stays bf16 — see _bwd_dq_kernel_t
+    lse = lse_ref[0, 0]
+    dd = dd_ref[0, 0]
+
+    s = jax.lax.dot_general(
+        k, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [bkv, bq]
+    p = jnp.exp2(s - lse[None, :])
+    kv_j = pl.program_id(1)
+    if mask_kv or kv_len % bkv != 0:
+        row = jax.lax.broadcasted_iota(jnp.int32, p.shape, 0) + kv_j * bkv
+        p = jnp.where(row < kv_len, p, 0.0)
+    dv_acc[:] += jax.lax.dot_general(
+        do, p.astype(do_ref.dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [Dh, bkv]
+    dp = jax.lax.dot_general(
+        v, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [bkv, bq]
+    ds = (p * (dp - dd[None, :])).astype(q.dtype)
+    dk_acc[:] += jax.lax.dot_general(
+        q, ds, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [Dh, bkv]
+    # this kv block's dq contribution — full MXU rate (bkv-deep contraction)
+    dqp_ref[0, 0] = jax.lax.dot_general(
+        k, ds, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [Dh, bq]
+
+    @pl.when(q_i == q_steps - 1)
+    def _finalize():
+        # ·1/log2(e) folded out of the per-tile ds into this one pass
+        dk_ref[0] = (dk_acc[:] * (1.0 / _LOG2E)).astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
 def _choose_bwd_blocks(N):
     """(Np, bq, bkv) for the transposed backward: bkv rides the LANE dim of
     the k/v/do blocks so it must be a multiple of 128; bounded by the fp32
@@ -692,9 +760,11 @@ def _choose_bwd_blocks(N):
     return Np, bq, bkv
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret", "kv_len"))
+@functools.partial(
+    jax.jit, static_argnames=("scale", "interpret", "kv_len", "fused")
+)
 def _flash_bwd_impl_t(q, k, v, o, lse, do, scale=None, interpret=False,
-                      kv_len=None):
+                      kv_len=None, fused=True):
     """Flash-attention backward, channels-major ``[B, H, Dh, N]`` in/out.
 
     O(N·block) memory, no [N, N] materialization (the round-1 XLA backward
@@ -707,6 +777,13 @@ def _flash_bwd_impl_t(q, k, v, o, lse, do, scale=None, interpret=False,
     The kv junk beyond it is non-zero, so both kernels mask those rows;
     gradients keep the padded length, with exact zeros in the pad lanes
     (the invariant that keeps upstream weight gradients junk-free).
+
+    ``fused`` (default): ONE kernel walk computes dk/dv AND per-kv-block dq
+    partials, deleting the two-pass structure's duplicated s/dp matmuls
+    (the half-MXU-rate D=64 contractions — 7 block matmuls → 5); partials
+    are fp32-summed outside. ``fused=False`` keeps the separate
+    dq + dkv passes (lower HBM watermark: no ``kv_steps × dq`` partial
+    buffer) as the fallback for memory-bound shapes.
     """
     B, H, D, N = q.shape
     if scale is None:
@@ -735,49 +812,76 @@ def _flash_bwd_impl_t(q, k, v, o, lse, do, scale=None, interpret=False,
     lsef = lse.reshape(B * H, 1, Np)
     ddf = dd.reshape(B * H, 1, Np)
 
-    q_spec = pl.BlockSpec((1, D, bq), lambda b, i, j: (b, 0, i))
-    kv_spec = pl.BlockSpec((1, D, bkv), lambda b, i, j: (b, 0, j))
-    r_spec = pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i))
-    dq = pl.pallas_call(
-        functools.partial(
-            _bwd_dq_kernel_t, scale=scale, kv_steps=kv_steps, bkv=bkv,
-            kv_len=kv_len, mask_kv=prepadded,
-        ),
-        grid=(B * H, Np // bq, kv_steps),
-        in_specs=[q_spec, kv_spec, kv_spec, q_spec, r_spec, r_spec],
-        out_specs=q_spec,
-        out_shape=jax.ShapeDtypeStruct((B * H, D, Np), q.dtype),
-        scratch_shapes=[pltpu.VMEM((D, bq), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(qf, kf, vf, dof, lsef, ddf)
-
     kvw_spec = pl.BlockSpec((1, D, bkv), lambda b, j, i: (b, 0, j))
     qw_spec = pl.BlockSpec((1, D, bq), lambda b, j, i: (b, 0, i))
     rw_spec = pl.BlockSpec((1, 1, bq), lambda b, j, i: (b, 0, i))
-    dk, dv = pl.pallas_call(
-        functools.partial(
-            _bwd_dkv_kernel_t, q_steps=q_steps, bkv=bkv,
-            kv_len=kv_len, mask_kv=prepadded,
-        ),
-        grid=(B * H, kv_steps, q_steps),
-        in_specs=[qw_spec, kvw_spec, kvw_spec, qw_spec, rw_spec, rw_spec],
-        out_specs=[kvw_spec, kvw_spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((B * H, D, Np), k.dtype),
-            jax.ShapeDtypeStruct((B * H, D, Np), v.dtype),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((D, bkv), jnp.float32),
-            pltpu.VMEM((D, bkv), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(qf, kf, vf, dof, lsef, ddf)
+
+    if fused:
+        dqp_spec = pl.BlockSpec((1, 1, D, bq), lambda b, j, i: (b, j, 0, i))
+        dk, dv, dqp = pl.pallas_call(
+            functools.partial(
+                _bwd_fused_kernel_t, q_steps=q_steps, bkv=bkv,
+                kv_len=kv_len, mask_kv=prepadded,
+            ),
+            grid=(B * H, kv_steps, q_steps),
+            in_specs=[qw_spec, kvw_spec, kvw_spec, qw_spec, rw_spec, rw_spec],
+            out_specs=[kvw_spec, kvw_spec, dqp_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((B * H, D, Np), k.dtype),
+                jax.ShapeDtypeStruct((B * H, D, Np), v.dtype),
+                jax.ShapeDtypeStruct((B * H, kv_steps, D, Np), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((D, bkv), jnp.float32),
+                pltpu.VMEM((D, bkv), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(qf, kf, vf, dof, lsef, ddf)
+        dq = (dqp.sum(axis=1) * scale).astype(q.dtype)
+    else:
+        q_spec = pl.BlockSpec((1, D, bq), lambda b, i, j: (b, 0, i))
+        kv_spec = pl.BlockSpec((1, D, bkv), lambda b, i, j: (b, 0, j))
+        r_spec = pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i))
+        dq = pl.pallas_call(
+            functools.partial(
+                _bwd_dq_kernel_t, scale=scale, kv_steps=kv_steps, bkv=bkv,
+                kv_len=kv_len, mask_kv=prepadded,
+            ),
+            grid=(B * H, Np // bq, kv_steps),
+            in_specs=[q_spec, kv_spec, kv_spec, q_spec, r_spec, r_spec],
+            out_specs=q_spec,
+            out_shape=jax.ShapeDtypeStruct((B * H, D, Np), q.dtype),
+            scratch_shapes=[pltpu.VMEM((D, bq), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(qf, kf, vf, dof, lsef, ddf)
+
+        dk, dv = pl.pallas_call(
+            functools.partial(
+                _bwd_dkv_kernel_t, q_steps=q_steps, bkv=bkv,
+                kv_len=kv_len, mask_kv=prepadded,
+            ),
+            grid=(B * H, kv_steps, q_steps),
+            in_specs=[qw_spec, kvw_spec, kvw_spec, qw_spec, rw_spec, rw_spec],
+            out_specs=[kvw_spec, kvw_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((B * H, D, Np), k.dtype),
+                jax.ShapeDtypeStruct((B * H, D, Np), v.dtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((D, bkv), jnp.float32),
+                pltpu.VMEM((D, bkv), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(qf, kf, vf, dof, lsef, ddf)
 
     unflat = lambda t: t.reshape(B, H, D, Np)[:, :, :, :N]
     return unflat(dq), unflat(dk), unflat(dv)

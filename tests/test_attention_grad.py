@@ -159,3 +159,27 @@ def test_flash_t_prepadded_kv_len_fwd_bwd():
             np.asarray(g_pad_full[..., n:]),
             np.zeros((B, H, D, Np - n), np.float32), err_msg=f"{name} pad lanes",
         )
+
+
+@pytest.mark.parametrize("N", [160, 1200])
+def test_bwd_fused_matches_two_pass(rng, N):
+    """The fused backward (dk/dv + dq-partials in one kernel walk) must
+    reproduce the two-pass backward's gradients to fp32 summation noise:
+    same math, the only difference is where the per-kv-block dq
+    contributions are accumulated (fp32 partial buffer vs VMEM scratch)."""
+    B, H, D = 1, 2, 32
+    t = lambda x: x.transpose(0, 1, 3, 2)
+    q, k, v = [
+        t(jnp.asarray(rng.normal(size=(B, H, N, D)).astype(np.float32)))
+        for _ in range(3)
+    ]
+    o, lse = A._flash_fwd_impl_t(q, k, v, interpret=True)
+    do = t(jnp.asarray(rng.normal(size=(B, H, N, D)).astype(np.float32)))
+    g_fused = A._flash_bwd_impl_t(q, k, v, o, lse, do, interpret=True,
+                                  fused=True)
+    g_two = A._flash_bwd_impl_t(q, k, v, o, lse, do, interpret=True,
+                                fused=False)
+    for a, b, name in zip(g_fused, g_two, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, err_msg=name
+        )
