@@ -197,6 +197,15 @@ class Trainer:
     mesh: Optional[Any] = None
     fsdp: bool = False
     fsdp_min_size: int = 1 << 16  # don't shard params below this many elems
+    # Loss-fetch window: jax dispatch is async, so fetching the loss every
+    # step would (a) serialize one host↔device round trip per step — ~25 ms
+    # through the remote-TPU tunnel, up to ~18% of wall at the measured
+    # 896² step time — and (b) stop host-side data prep from overlapping
+    # device compute. Losses are accumulated as device scalars and fetched
+    # once per window (ONE transfer for the whole window); the window also
+    # bounds dispatch runahead, capping device memory held by queued
+    # batches. 1 restores the reference's per-step sync (train.py:300-305).
+    sync_every: int = 8
 
     def __post_init__(self):
         # GT targets must be centered on the SAME joint as the model's
@@ -252,25 +261,47 @@ class Trainer:
             opt_state = self.optimizer.init(params)
             shard_batch = lambda b: b
             mesh_ctx = contextlib.nullcontext
+        sync = max(int(self.sync_every), 1)
         for epoch in range(start_epoch, epochs):
             n, running = 0, 0.0
             # workload meters (reference train.py:232-234, 310-328): time in
-            # the data iterator vs whole-step time, and their ratio
+            # the data iterator vs whole-step time, and their ratio —
+            # measured per sync window (amortized per step), since between
+            # fetches the steps run async and per-step wall time would only
+            # measure dispatch
             meters = {k: AverageMeter(k) for k in ("data", "batch", "ratio_data")}
-            t_end = time.perf_counter()
+            pending = []  # device-side loss scalars awaiting one fetch
+            data_win, win_n = 0.0, 0
+            t_end = t_win = time.perf_counter()
+
+            def _drain():
+                nonlocal running, data_win, win_n, t_win
+                if not pending:
+                    return
+                # ONE transfer for the whole window
+                running += float(jnp.sum(jnp.stack(pending)))
+                pending.clear()
+                wall = time.perf_counter() - t_win
+                meters["data"].update(data_win / win_n, n=win_n)
+                meters["batch"].update(wall / win_n, n=win_n)
+                meters["ratio_data"].update(data_win / max(wall, 1e-9), n=win_n)
+                data_win, win_n = 0.0, 0
+                t_win = time.perf_counter()
+
             for batch in data_iter_fn():
                 t_data = time.perf_counter() - t_end
                 with mesh_ctx():
                     params, opt_state, terms = self.train_step(
                         params, opt_state, shard_batch(batch), epoch
                     )
-                running += float(terms["total"])  # blocks on the step
-                t_batch = time.perf_counter() - t_end
-                meters["data"].update(t_data)
-                meters["batch"].update(t_batch)
-                meters["ratio_data"].update(t_data / max(t_batch, 1e-9))
+                pending.append(terms["total"])
+                data_win += t_data
+                win_n += 1
                 n += 1
+                if len(pending) >= sync:
+                    _drain()
                 t_end = time.perf_counter()
+            _drain()
             self.log_fn(
                 f"epoch {epoch}: mean loss {running / max(n,1):.4f} over {n} steps "
                 f"(data {meters['data'].avg*1e3:.1f} ms, "

@@ -217,6 +217,50 @@ def test_trainer_fit_with_checkpointing(tmp_path, rng):
             "loss/total"} <= tags
 
 
+def test_trainer_sync_window_matches_per_step(rng):
+    """Windowed loss fetching (sync_every>1: device-side accumulation, ONE
+    transfer per window) must report exactly the same epoch mean loss as
+    the reference-style per-step sync, including the partial-window drain
+    (5 steps, window 3 → windows of 3 and 2)."""
+    from multihmr_tpu.train.trainer import Trainer
+    import optax
+
+    model = make_model()
+    B, Kh = 1, 4
+    rng0 = np.random.default_rng(7)
+    batches = []
+    for _ in range(5):
+        batches.append({
+            "image": jnp.asarray(rng0.normal(size=(B, 56, 56, 3)).astype(np.float32)),
+            "K": jnp.asarray(
+                np.array([[[100.0, 0, 28], [0, 100, 28], [0, 0, 1]]], np.float32)
+            ),
+            "gt_pose": jnp.asarray(
+                rng0.normal(scale=0.2, size=(B, Kh, 53, 3)).astype(np.float32)
+            ),
+            "gt_shape": jnp.asarray(rng0.normal(size=(B, Kh, 10)).astype(np.float32)),
+            "gt_transl": jnp.asarray(
+                (rng0.normal(scale=0.3, size=(B, Kh, 3)) + [0, 0, 4]).astype(np.float32)
+            ),
+            "gt_valid": jnp.asarray([[1, 1, 0, 0]], jnp.float32),
+        })
+
+    def mean_loss(sync_every):
+        params = model.init_params(jax.random.PRNGKey(0))
+        lines = []
+        trainer = Trainer(
+            model, optax.adam(1e-4), log_fn=lines.append,
+            sync_every=sync_every,
+        )
+        trainer.fit(params, lambda: iter(batches), epochs=1)
+        # "epoch 0: mean loss <x> over 5 steps (...)"
+        return float(lines[0].split("mean loss ")[1].split(" ")[0])
+
+    per_step = mean_loss(1)
+    windowed = mean_loss(3)
+    assert np.isclose(per_step, windowed, rtol=1e-6), (per_step, windowed)
+
+
 def test_trainer_fit_with_mesh(rng):
     """Trainer.fit on an 8-device (data=4, model=2) mesh — the CLI's
     --model_parallel/--fsdp path: params + Adam moments end up sharded, the
