@@ -127,6 +127,52 @@ def test_mha_reference_t_matches_standard(rng):
     )
 
 
+def test_flash_t_multistep_matches_reference(rng):
+    """Transposed kernel on a kv_steps>1 length (the production 1288_L
+    path: 8465→8704 runs 4 kv steps). N=4481 → Np=4608, kv_steps=2 is the
+    smallest 128-aligned multi-step shape. No prior test reached the
+    transposed kernel's online-correction multi-step branch (N=1200 pads
+    to a single step); this pins it against plain attention."""
+    from multihmr_tpu.ops.attention import flash_attention_t
+
+    B, H, N, D = 1, 2, 4481, 64
+    q, k, v = [
+        jnp.asarray((0.3 * rng.normal(size=(B, H, N, D))).astype(np.float32))
+        for _ in range(3)
+    ]
+    t = lambda x: x.transpose(0, 1, 3, 2)
+    out_t = flash_attention_t(t(q), t(k), t(v), None, True)
+    ref = mha_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(t(out_t)), np.asarray(ref), atol=2e-5)
+
+
+def test_outlier_in_later_kv_step(rng):
+    """An extreme outlier key in a LATER KV STEP must not overflow the
+    sub-block-0 softmax offset — the cross-step analogue of
+    test_sub0_offset_outlier_headroom. N=4481 runs 2 kv steps (bkv=2304);
+    the outlier sits at key 4000 (step 1, sub-block 4) with a logit ~150
+    exp2-units above every sub-block-0 max — inside the +_SUB0_MARGIN
+    headroom (~178 units) that both the online-correction multi-step path
+    and any fixed-offset variant (see DESIGN.md §3d) must provide."""
+    from multihmr_tpu.ops.attention import flash_attention_t
+
+    B, H, N, D = 1, 1, 4481, 64
+    c = 28.85  # c*c/sqrt(64) ≈ 104 nats ≈ 150 exp2-units
+    q = np.zeros((B, H, N, D), np.float32)
+    q[..., 0] = c
+    k = (0.02 * rng.normal(size=(B, H, N, D))).astype(np.float32)
+    k[0, 0, 4000] = 0.0
+    k[0, 0, 4000, 0] = c
+    v = rng.normal(size=(B, H, N, D)).astype(np.float32)
+    q, k, v = jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+
+    t = lambda x: x.transpose(0, 1, 3, 2)
+    out_t = flash_attention_t(t(q), t(k), t(v), None, True)
+    ref = mha_reference(q, k, v)  # global-max softmax: immune by design
+    assert np.isfinite(np.asarray(out_t)).all(), "frozen offset overflowed"
+    np.testing.assert_allclose(np.asarray(t(out_t)), np.asarray(ref), atol=2e-5)
+
+
 def test_sub0_offset_outlier_headroom(rng):
     """An extreme outlier key in a LATER sub-block must not overflow the
     sub-block-0 softmax offset. N=1024 runs as ONE kv step with nsub=2
