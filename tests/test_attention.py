@@ -169,7 +169,7 @@ def test_outlier_in_later_kv_step(rng):
     t = lambda x: x.transpose(0, 1, 3, 2)
     out_t = flash_attention_t(t(q), t(k), t(v), None, True)
     ref = mha_reference(q, k, v)  # global-max softmax: immune by design
-    assert np.isfinite(np.asarray(out_t)).all(), "frozen offset overflowed"
+    assert np.isfinite(np.asarray(out_t)).all(), "multi-step sub-0 offset overflowed"
     np.testing.assert_allclose(np.asarray(t(out_t)), np.asarray(ref), atol=2e-5)
 
 
