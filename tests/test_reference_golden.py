@@ -693,3 +693,275 @@ def test_token_dropout_vs_reference(rng):
     mod = cat.ZeroTokenDropout(p=0.7).eval()
     want = mod(torch.from_numpy(x.copy())).numpy()
     np.testing.assert_allclose(want, x, atol=0)
+
+
+# ---------------------------------------------------------------------------
+# model.py:205-349 — FULL-PIPELINE golden vs the reference Model.forward glue
+# ---------------------------------------------------------------------------
+# Every stage above is golden-tested piecewise; these tests splice converted
+# random weights through BOTH assembled pipelines. The reference backbone is
+# stubbed to emit OUR ViT's tokens (so the comparison isolates the glue:
+# embedd_camera ray/concat ordering model.py:160-187/262-269, the
+# loc=(idx+0.5+offset)*14 chain :272-275, the focal-norm⁻¹∘exp∘clamp dist
+# decode :294-298/:189-203, and cross_attn_inputs assembly :479-525);
+# SMPL_Layer is stubbed to the deterministic K⁻¹·loc·dist translation only
+# (the body model itself is golden-tested below and in test_bodymodel.py).
+
+
+def _torch_rotvec_to_rotmat(rv):
+    """Test-local roma.rotvec_to_rotmat (scipy-backed, independent)."""
+    from scipy.spatial.transform import Rotation
+
+    shape = tuple(rv.shape[:-1])
+    R = Rotation.from_rotvec(rv.reshape(-1, 3).numpy().astype(np.float64)).as_matrix()
+    return torch.from_numpy(R.astype(np.float32)).reshape(shape + (3, 3))
+
+
+def _torch_rotmat_to_rotvec(R):
+    """Test-local roma.rotmat_to_rotvec (scipy-backed, independent)."""
+    from scipy.spatial.transform import Rotation
+
+    shape = tuple(R.shape[:-2])
+    rv = Rotation.from_matrix(
+        R.reshape(-1, 3, 3).numpy().astype(np.float64)
+    ).as_rotvec()
+    return torch.from_numpy(rv.astype(np.float32)).reshape(shape + (3,))
+
+
+def _torch_special_gramschmidt(x):
+    """Test-local roma.special_gramschmidt on [..., 3, 2] column pairs."""
+    a1, a2 = x[..., 0], x[..., 1]
+    b1 = a1 / a1.norm(dim=-1, keepdim=True)
+    b2 = a2 - (b1 * a2).sum(-1, keepdim=True) * b1
+    b2 = b2 / b2.norm(dim=-1, keepdim=True)
+    b3 = torch.cross(b1, b2, dim=-1)
+    return torch.stack([b1, b2, b3], dim=-1)
+
+
+def _patch_roma(monkeypatch):
+    roma = sys.modules["roma"]
+    monkeypatch.setattr(roma, "rotvec_to_rotmat", _torch_rotvec_to_rotmat, raising=False)
+    monkeypatch.setattr(roma, "rotmat_to_rotvec", _torch_rotmat_to_rotvec, raising=False)
+    monkeypatch.setattr(
+        roma, "special_gramschmidt", _torch_special_gramschmidt, raising=False
+    )
+
+
+def _flatten_det(det):
+    """[B,K] Detections → reference row-major flat lists (b, row, col)."""
+    valid = np.asarray(det.valid)
+    rows, cols = np.asarray(det.rows), np.asarray(det.cols)
+    flat = []
+    for b in range(valid.shape[0]):
+        for k in range(valid.shape[1]):
+            if valid[b, k] > 0:
+                flat.append((b, int(rows[b, k]), int(cols[b, k])))
+    return flat
+
+
+def _build_full_pipeline(rng, monkeypatch, tmp_path):
+    """Construct BOTH pipelines from ONE converted random state dict."""
+    from multihmr_tpu.config import ModelConfig, ViTConfig
+    from multihmr_tpu.io.checkpoint import convert_torch_checkpoint
+    from multihmr_tpu.models.vit import DINOv2ViT
+    from multihmr_tpu.models.multihmr import MultiHMR
+    from multihmr_tpu.bodymodel import synthetic_body_model
+    from tests.test_checkpoint import make_reference_state_dict
+
+    cfg = ModelConfig(
+        img_size=56,
+        max_people=4,
+        compute_dtype="float32",
+        vit_override=ViTConfig(embed_dim=32, depth=2, num_heads=2),
+    )
+    sd = make_reference_state_dict(cfg, rng)
+    # 1/sqrt(fan_in) scale keeps the dim-1024 HPH activations O(1) so both
+    # fp32 pipelines agree to tight tolerances (raw N(0,1) weights explode).
+    for k, v in sd.items():
+        if v.ndim >= 2 and k.endswith(".weight") and "norm" not in k:
+            sd[k] = (v / np.sqrt(v.shape[-1])).astype(np.float32)
+    params = convert_torch_checkpoint(sd, cfg)
+
+    B = 3
+    x = rng.normal(size=(B, cfg.img_size, cfg.img_size, 3)).astype(np.float32)
+    K = np.broadcast_to(
+        np.array([[62.0, 0, 28], [0, 62.0, 28], [0, 0, 1]], np.float32), (B, 3, 3)
+    ).copy()
+    K[:, 0, 0] += rng.normal(scale=2, size=B)
+    K[:, 1, 1] = K[:, 0, 0]
+
+    # our tokens become the reference backbone stub's output
+    vit = DINOv2ViT(cfg.vit, grid_size=cfg.grid_size, dtype=jnp.float32)
+    tokens = np.asarray(
+        vit.apply({"params": params["params"]["backbone"]}, jnp.asarray(x))[
+            "patch_tokens"
+        ],
+        dtype=np.float32,
+    )
+
+    refm = load_ref_model_module()
+    _patch_roma(monkeypatch)
+    mp = tmp_path / "mean_params.npz"
+    np.savez(
+        mp,
+        pose=np.zeros(144, np.float32),
+        shape=np.zeros(10, np.float32),
+        cam=np.zeros(3, np.float32),
+    )
+    monkeypatch.setattr(refm, "MEAN_PARAMS", str(mp))
+
+    class StubBackbone(torch.nn.Module):
+        def __init__(self, name, pretrained=False):
+            super().__init__()
+            self.embed_dim = cfg.vit.embed_dim
+            self.patch_size = cfg.patch_size
+
+        def forward(self, x):
+            return torch.from_numpy(tokens[: x.shape[0]].copy())
+
+    class StubSMPLLayer(torch.nn.Module):
+        """Deterministic stand-in: real K⁻¹·loc·dist translation (reference
+        blocks/smpl_layer.py:117-123 — body-model independent), zeros for the
+        mesh-dependent outputs."""
+
+        def __init__(self, *a, **k):
+            super().__init__()
+
+        def forward(self, pose, shape, loc, dist, transl, K, expression=None):
+            P = pose.shape[0]
+            transl = refm.inverse_perspective_projection(
+                loc.unsqueeze(1).float(), K, dist.unsqueeze(1).float()
+            )[:, 0]
+            z = lambda *s: torch.zeros(*s)
+            return {
+                "v3d": z(P, 5, 3), "j3d": z(P, 5, 3), "j2d": z(P, 5, 2),
+                "v2d": z(P, 5, 2), "transl": transl, "transl_pelvis": z(P, 1, 3),
+            }
+
+    monkeypatch.setattr(refm, "Dinov2Backbone", StubBackbone)
+    monkeypatch.setattr(refm, "SMPL_Layer", StubSMPLLayer)
+    ref_model = refm.Model(
+        backbone="dinov2_vitb14",
+        pretrained_backbone=False,
+        img_size=cfg.img_size,
+        xat_depth=cfg.xat_depth,
+        xat_num_heads=cfg.xat_num_heads,
+        person_center="head",
+        num_betas=cfg.num_betas,
+    ).eval()
+    missing, unexpected = ref_model.load_state_dict(
+        {k: torch.from_numpy(v) for k, v in sd.items()}, strict=False
+    )
+    assert not missing, f"reference model keys not in fixture sd: {missing}"
+    assert all(
+        k.startswith(("backbone.", "smpl_layer.")) for k in unexpected
+    ), f"head keys failed to load: {unexpected}"
+
+    ours = MultiHMR(cfg, synthetic_body_model())
+    return cfg, params, ours, ref_model, x, K
+
+
+def _pick_thresholds(nms_np, cap):
+    """Data-derived det thresholds: (zero-person, one-person, many-person
+    with ≥1 empty image and per-image counts ≤ cap). Midpoints with ≥1e-4
+    margin so last-ulp cross-backend score diffs cannot flip a detection."""
+    B = nms_np.shape[0]
+    per_img = nms_np.reshape(B, -1)
+    t_zero = float(nms_np.max()) + 0.1
+    vals = np.sort(np.unique(nms_np.reshape(-1)))[::-1]
+    t_one = None
+    if vals[0] - vals[1] > 1e-4:
+        t_one = float((vals[0] + vals[1]) / 2)
+    t_many = None
+    for i in range(1, len(vals) - 1):
+        t = float((vals[i] + vals[i + 1]) / 2)
+        if vals[i] - vals[i + 1] <= 1e-4:
+            continue
+        counts = (per_img >= t).sum(1)
+        if counts.max() <= cap and counts.min() == 0 and counts.sum() >= 4:
+            t_many = t
+            break
+    assert t_one is not None and t_many is not None, "tune the seed/scale"
+    return t_zero, t_one, t_many
+
+
+def test_full_pipeline_vs_reference(rng, monkeypatch, tmp_path):
+    """End-to-end: converted random weights through our MultiHMR vs the
+    reference Model.forward (model.py:205-349), eval + training modes, with
+    0 / 1 / many persons across images."""
+    from multihmr_tpu.ops.detection import nms_maxpool
+
+    cfg, params, ours, ref_model, x, K = _build_full_pipeline(
+        rng, monkeypatch, tmp_path
+    )
+    B = x.shape[0]
+    xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))  # NCHW for torch
+    Kt = torch.from_numpy(K)
+
+    # pre-scan: our pre-NMS heatmap → NMS → data-derived thresholds
+    probe = ours.net.apply(params, jnp.asarray(x), jnp.asarray(K), det_thresh=2.0)
+    nms_np = np.asarray(nms_maxpool(probe["scores"], 3))
+    t_zero, t_one, t_many = _pick_thresholds(nms_np, cfg.max_people)
+
+    # --- zero-person path ---
+    with torch.no_grad():
+        persons = ref_model(xt, det_thresh=t_zero, nms_kernel_size=3, K=Kt)
+    assert persons == []
+    out0 = ours.net.apply(params, jnp.asarray(x), jnp.asarray(K), det_thresh=t_zero)
+    assert np.asarray(out0["det"].valid).sum() == 0
+
+    for thresh in (t_one, t_many):
+        out = ours.forward(
+            params, jnp.asarray(x), jnp.asarray(K),
+            det_thresh=thresh, nms_kernel_size=3, batch_mode="fused",
+        )
+        det = out["det"]
+        flat = _flatten_det(det)
+        valid = np.asarray(det.valid).astype(bool)
+        fl = lambda key: np.asarray(out[key])[valid]
+
+        # --- reference EVAL mode: ragged persons list ---
+        with torch.no_grad():
+            persons = ref_model(xt, det_thresh=thresh, nms_kernel_size=3, K=Kt)
+        assert len(persons) == len(flat) == int(valid.sum())
+
+        kw = dict(rtol=2e-4, atol=2e-4)
+        for i, p in enumerate(persons):
+            np.testing.assert_allclose(fl("scores_det")[i], p["scores"].numpy(), **kw)
+            np.testing.assert_allclose(fl("loc")[i], p["loc"].numpy(), atol=2e-3)
+            np.testing.assert_allclose(fl("shape")[i], p["shape"].numpy(), **kw)
+            np.testing.assert_allclose(
+                fl("expression")[i], p["expression"].numpy(), **kw
+            )
+            np.testing.assert_allclose(fl("rotvec")[i], p["rotvec"].numpy(), atol=3e-4)
+            np.testing.assert_allclose(fl("transl")[i], p["transl"].numpy(), rtol=2e-4,
+                                       atol=2e-4)
+
+        # --- reference TRAINING mode with the same idx: flat out dict ---
+        idx = tuple(
+            torch.tensor(v, dtype=torch.long)
+            for v in zip(*[(b, r, c, 0) for b, r, c in flat])
+        )
+        with torch.no_grad():
+            ref_out = ref_model(
+                xt, idx=idx, det_thresh=thresh, nms_kernel_size=3, K=Kt,
+                is_training=True,
+            )
+        # full pre-NMS heatmap (reference permutes to [B,h,w,1])
+        np.testing.assert_allclose(
+            np.asarray(out["scores"]),
+            ref_out["scores"].numpy()[..., 0],
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(fl("offset"), ref_out["offset"].numpy(), **kw)
+        np.testing.assert_allclose(fl("loc"), ref_out["loc"].numpy(), atol=2e-3)
+        np.testing.assert_allclose(
+            fl("dist_postprocessed"), ref_out["dist_postprocessed"].numpy(), **kw
+        )
+        np.testing.assert_allclose(fl("dist"), ref_out["dist"].numpy(), rtol=3e-4)
+        np.testing.assert_allclose(fl("rotmat"), ref_out["rotmat"].numpy(), atol=2e-4)
+        np.testing.assert_allclose(fl("rotvec"), ref_out["rotvec"].numpy(), atol=3e-4)
+        np.testing.assert_allclose(fl("shape"), ref_out["shape"].numpy(), **kw)
+        np.testing.assert_allclose(
+            fl("expression"), ref_out["expression"].numpy(), **kw
+        )
