@@ -965,3 +965,193 @@ def test_full_pipeline_vs_reference(rng, monkeypatch, tmp_path):
         np.testing.assert_allclose(
             fl("expression"), ref_out["expression"].numpy(), **kw
         )
+
+
+# ---------------------------------------------------------------------------
+# blocks/smpl_layer.py:47-153 — SMPL_Layer golden vs the REAL reference module
+# ---------------------------------------------------------------------------
+# The accuracy-critical nonlinear wrapper: identity-global-orient trick,
+# pelvis rotation by the root R (:104-114), K⁻¹·loc·dist translation
+# (:117-123), person-center re-centering (:125-136), 2D projection (:143-144).
+# smplx.create is stubbed with a torch wrapper around the synthetic BodyModel
+# running the INDEPENDENT torch LBS from tests/test_bodymodel.py (plus the
+# smplx full-pose assembly order and extra-joint/landmark output layout);
+# roma is stubbed with scipy-backed Rodrigues. The class under test is the
+# reference's own.
+
+
+def _make_torch_smplx_stub(model, num_betas):
+    """smplx.create stand-in: torch module with the real SMPLX call contract
+    (kwargs of flattened rotvec slices, default-zero buffers, .vertices /
+    .joints output with FK ++ extra-vertex ++ landmark joints)."""
+    from tests.test_bodymodel import torch_lbs
+
+    extra_ids = np.asarray(model.extra_joint_vertex_ids)
+    faces = np.asarray(model.faces)
+    lmk_faces = np.asarray(model.lmk_faces_idx)
+    lmk_bary = torch.from_numpy(np.asarray(model.lmk_bary_coords).copy())
+
+    class StubSMPLX(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.global_orient = torch.zeros(1, 3)
+            self.expression = torch.zeros(1, 10)
+            self.leye_pose = torch.zeros(1, 3)
+            self.reye_pose = torch.zeros(1, 3)
+
+        def forward(
+            self,
+            betas,
+            global_orient,
+            body_pose,
+            left_hand_pose,
+            right_hand_pose,
+            jaw_pose,
+            expression,
+            leye_pose,
+            reye_pose,
+        ):
+            bs = betas.shape[0]
+            # smplx full-pose order: [root, body21, jaw, leye, reye,
+            # lhand15, rhand15] — the layout JOINT_NAMES[:55] names.
+            full = torch.cat(
+                [
+                    global_orient.reshape(bs, 1, 3),
+                    body_pose.reshape(bs, 21, 3),
+                    jaw_pose.reshape(bs, 1, 3),
+                    leye_pose.reshape(bs, 1, 3),
+                    reye_pose.reshape(bs, 1, 3),
+                    left_hand_pose.reshape(bs, 15, 3),
+                    right_hand_pose.reshape(bs, 15, 3),
+                ],
+                dim=1,
+            )
+            rotmats = _torch_rotvec_to_rotmat(full)
+            verts, fk_joints = torch_lbs(model, rotmats, betas, expression)
+            joints = [fk_joints, verts[:, extra_ids]]
+            if len(lmk_faces) > 0:
+                tris = verts[:, faces[lmk_faces]]  # [bs, n_lmk, 3, 3]
+                joints.append(torch.einsum("blkc,lk->blc", tris, lmk_bary))
+            out = types.SimpleNamespace(
+                vertices=verts, joints=torch.cat(joints, dim=1)
+            )
+            return out
+
+    return StubSMPLX()
+
+
+@pytest.mark.parametrize("person_center", ["head", None])
+def test_smpl_layer_vs_reference(rng, monkeypatch, person_center):
+    from multihmr_tpu.bodymodel import synthetic_body_model
+    from multihmr_tpu.models.smplx_layer import SMPLXCameraLayer
+
+    load_ref_model_module()  # installs stub smplx/roma, imports ref blocks
+    _patch_roma(monkeypatch)
+    model = synthetic_body_model(num_joints=55)
+    monkeypatch.setattr(
+        sys.modules["smplx"],
+        "create",
+        lambda *a, **k: _make_torch_smplx_stub(model, k.get("num_betas", 10)),
+        raising=False,
+    )
+    ref_blocks = importlib.import_module("blocks.smpl_layer")
+    ref_layer = ref_blocks.SMPL_Layer(
+        type="smplx", gender="neutral", num_betas=10, person_center=person_center
+    ).eval()
+
+    ours = SMPLXCameraLayer(model, person_center=person_center)
+
+    B = 4
+    pose = rng.normal(scale=0.4, size=(B, 53, 3)).astype(np.float32)
+    shape = rng.normal(size=(B, 10)).astype(np.float32)
+    expr = rng.normal(size=(B, 10)).astype(np.float32)
+    loc = rng.uniform(100, 800, size=(B, 2)).astype(np.float32)
+    dist = rng.uniform(2, 8, size=(B, 1)).astype(np.float32)
+    K = np.zeros((B, 3, 3), np.float32)
+    K[:, 0, 0] = K[:, 1, 1] = 600.0 + rng.normal(scale=10, size=B)
+    K[:, 0, 2] = K[:, 1, 2] = 448.0
+    K[:, 2, 2] = 1.0
+
+    with torch.no_grad():
+        want = ref_layer(
+            pose=torch.from_numpy(pose),
+            shape=torch.from_numpy(shape),
+            loc=torch.from_numpy(loc),
+            dist=torch.from_numpy(dist),
+            transl=None,
+            K=torch.from_numpy(K),
+            expression=torch.from_numpy(expr),
+        )
+    got = ours(
+        jnp.asarray(pose),
+        jnp.asarray(shape),
+        jnp.asarray(loc),
+        jnp.asarray(dist),
+        jnp.asarray(K),
+        expression=jnp.asarray(expr),
+    )
+    assert set(want) == {"v3d", "j3d", "j2d", "v2d", "transl", "transl_pelvis"}
+    for key in ("v3d", "j3d", "transl", "transl_pelvis"):
+        np.testing.assert_allclose(
+            np.asarray(got[key]), want[key].numpy(), atol=2e-5, err_msg=key
+        )
+    for key in ("j2d", "v2d"):  # pixel scale (~focal·x/z)
+        np.testing.assert_allclose(
+            np.asarray(got[key]), want[key].numpy(), atol=2e-3, err_msg=key
+        )
+
+
+def test_smpl_layer_vs_reference_given_transl(rng, monkeypatch):
+    """The transl-provided path (reference blocks/smpl_layer.py:117 skipped;
+    used by prepare_gt where GT translation is known, train.py:98-110)."""
+    from multihmr_tpu.bodymodel import synthetic_body_model
+    from multihmr_tpu.models.smplx_layer import SMPLXCameraLayer
+
+    load_ref_model_module()
+    _patch_roma(monkeypatch)
+    model = synthetic_body_model(num_joints=55)
+    monkeypatch.setattr(
+        sys.modules["smplx"],
+        "create",
+        lambda *a, **k: _make_torch_smplx_stub(model, k.get("num_betas", 10)),
+        raising=False,
+    )
+    ref_blocks = importlib.import_module("blocks.smpl_layer")
+    ref_layer = ref_blocks.SMPL_Layer(
+        type="smplx", gender="neutral", num_betas=10, person_center="head"
+    ).eval()
+    ours = SMPLXCameraLayer(model, person_center="head")
+
+    B = 2
+    pose = rng.normal(scale=0.3, size=(B, 53, 3)).astype(np.float32)
+    shape = rng.normal(size=(B, 10)).astype(np.float32)
+    transl = rng.normal(scale=1.0, size=(B, 3)).astype(np.float32)
+    transl[:, 2] += 5.0
+    K = np.broadcast_to(
+        np.array([[600.0, 0, 448], [0, 600.0, 448], [0, 0, 1]], np.float32),
+        (B, 3, 3),
+    ).copy()
+    loc = rng.uniform(100, 800, size=(B, 2)).astype(np.float32)
+    dist = rng.uniform(2, 8, size=(B, 1)).astype(np.float32)
+
+    with torch.no_grad():
+        want = ref_layer(
+            pose=torch.from_numpy(pose),
+            shape=torch.from_numpy(shape),
+            loc=torch.from_numpy(loc),
+            dist=torch.from_numpy(dist),
+            transl=torch.from_numpy(transl),
+            K=torch.from_numpy(K),
+        )
+    got = ours(
+        jnp.asarray(pose),
+        jnp.asarray(shape),
+        jnp.asarray(loc),
+        jnp.asarray(dist),
+        jnp.asarray(K),
+        transl=jnp.asarray(transl),
+    )
+    for key in ("v3d", "j3d", "transl", "transl_pelvis"):
+        np.testing.assert_allclose(
+            np.asarray(got[key]), want[key].numpy(), atol=2e-5, err_msg=key
+        )
