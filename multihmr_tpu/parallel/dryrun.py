@@ -22,7 +22,6 @@ def run(n_devices: int) -> None:
     """Dryrun body. Requires an already-initialized backend with at least
     ``n_devices`` devices (CPU with --xla_force_host_platform_device_count)."""
     import jax
-    import jax.numpy as jnp
     import numpy as np
     import optax
 
@@ -107,7 +106,23 @@ def run(n_devices: int) -> None:
     )
     assert n_sharded > 0, "FSDP: no Adam moment ended up sharded"
 
-    # Sequence-parallel (ring attention) forward on the same mesh.
+    def max_delta(sharded_out, replicated_out, label, atol):
+        """Equivalence vs the single-device replicated forward — the artifact
+        must certify multi-chip CORRECTNESS, not just finiteness: a mesh
+        forward that silently returned wrong-but-finite values would still
+        print OK otherwise."""
+        a = np.asarray(sharded_out, np.float64)
+        b = np.asarray(replicated_out, np.float64)
+        assert np.all(np.isfinite(a)), f"non-finite {label} output"
+        d = float(np.max(np.abs(a - b))) if a.size else 0.0
+        assert d <= atol, f"{label}: mesh forward != replicated (max|d|={d:.3e})"
+        return d
+
+    # Sequence-parallel (ring attention) forward on the same mesh, checked
+    # against the same params run replicated on one device. bf16 compute:
+    # sharded collectives change reduction order, so tolerance is bf16-scale.
+    params_host = jax.device_get(params)
+    ref_model = MultiHMR(cfg, bm)
     sp_model = MultiHMR(cfg, bm, mesh=mesh, tp_mode="ring")
     x = jax.device_put(batch_np["image"], batch_sharding(mesh))
     Kb = jax.device_put(batch_np["K"], batch_sharding(mesh))
@@ -115,7 +130,10 @@ def run(n_devices: int) -> None:
         out = jax.jit(
             lambda p, x, K: sp_model.forward(p, x, K)["v3d"]
         )(params, x, Kb)
-    assert bool(jnp.all(jnp.isfinite(out))), "non-finite ring-attention output"
+    ref_out = jax.jit(
+        lambda p, x, K: ref_model.forward(p, x, K)["v3d"]
+    )(params_host, batch_np["image"], batch_np["K"])
+    d_sp = max_delta(out, ref_out, "SP(ring)", atol=5e-3)
 
     # Anny variant on the same mesh: TP attention threads through
     # AnnyEncoder exactly like the SMPL-X net (reference
@@ -146,46 +164,57 @@ def run(n_devices: int) -> None:
         anny_out = jax.jit(lambda p, x: anny.forward(p, x)["v3d"])(
             anny_params, x
         )
-    assert bool(jnp.all(jnp.isfinite(anny_out))), "non-finite Anny TP output"
+    anny_ref = MultiHMRAnny(anny_cfg, anny_bm, person_center_idx=5)
+    anny_ref_out = jax.jit(lambda p, x: anny_ref.forward(p, x)["v3d"])(
+        jax.device_get(anny_params), batch_np["image"]
+    )
+    d_anny = max_delta(anny_out, anny_ref_out, "Anny TP", atol=5e-3)
 
     # Flagship-geometry TP check: real ViT-L HEAD COUNT (16) over model
     # axes 2 and 4 — the 4-head toy above cannot catch head-count
     # divisibility or head-shard reshard bugs for the real backbone.
+    gcfg = ModelConfig(
+        backbone="dinov2_vitl14",  # real patch size/head count source
+        img_size=224,  # g=16 → 257 tokens: real multi-block grid, cheap
+        max_people=4,
+        person_center="head",
+        compute_dtype="bfloat16",
+        vit_override=ViTConfig(embed_dim=256, depth=2, num_heads=16),
+    )
+    gref = MultiHMR(cfg=gcfg, body_model=bm)
+    gparams_host = gref.init_params(jax.random.PRNGKey(2), batch_size=1)
+    gx_np = rng.normal(size=(n_devices, 224, 224, 3)).astype(np.float32)
+    gK_np = np.broadcast_to(Kmat, (n_devices, 3, 3)).copy()
+    gref_fwd = jax.jit(lambda p, x, K: gref.forward(p, x, K)["v3d"])
+    d_g = {}
     for mp in (2, 4):
         if n_devices % mp != 0:
             continue
         gmesh = make_mesh(n_devices, model_parallel=mp, devices=devices)
-        gcfg = ModelConfig(
-            backbone="dinov2_vitl14",  # real patch size/head count source
-            img_size=224,  # g=16 → 257 tokens: real multi-block grid, cheap
-            max_people=4,
-            person_center="head",
-            compute_dtype="bfloat16",
-            vit_override=ViTConfig(embed_dim=256, depth=2, num_heads=16),
-        )
         gmodel = MultiHMR(cfg=gcfg, body_model=bm, mesh=gmesh, tp_mode="heads")
-        gparams = gmodel.init_params(jax.random.PRNGKey(2), batch_size=1)
-        gparams = jax.device_put(gparams, param_shardings(gmesh, gparams))
-        gx = jax.device_put(
-            rng.normal(size=(n_devices // mp, 224, 224, 3)).astype(np.float32),
-            batch_sharding(gmesh),
+        gparams = jax.device_put(
+            gparams_host, param_shardings(gmesh, gparams_host)
         )
-        gK = jax.device_put(
-            np.broadcast_to(Kmat, (n_devices // mp, 3, 3)).copy(),
-            batch_sharding(gmesh),
-        )
+        gB = n_devices // mp
+        gx = jax.device_put(gx_np[:gB], batch_sharding(gmesh))
+        gK = jax.device_put(gK_np[:gB], batch_sharding(gmesh))
         with gmesh:
             gout = jax.jit(
                 lambda p, x, K: gmodel.forward(p, x, K)["v3d"]
             )(gparams, gx, gK)
-        assert bool(jnp.all(jnp.isfinite(gout))), f"non-finite heads16/mp{mp}"
+        d_g[mp] = max_delta(
+            gout, gref_fwd(gparams_host, gx_np[:gB], gK_np[:gB]),
+            f"heads16/mp{mp}", atol=5e-3,
+        )
 
+    g_str = ", ".join(f"mp{mp} {d:.1e}" for mp, d in d_g.items())
     print(
         f"dryrun_multichip OK: {n_devices} devices "
         f"(data={data_size}, model={model_parallel}), TP+FSDP train-step "
         f"loss={total:.4f} ({n_sharded} sharded moment leaves), "
-        f"SP(ring) forward finite, Anny TP forward finite, "
-        f"heads=16 TP forward finite (model=2,4)"
+        f"SP(ring) = replicated (max|d| {d_sp:.1e}), "
+        f"Anny TP = replicated ({d_anny:.1e}), "
+        f"heads=16 TP = replicated ({g_str})"
     )
 
 
