@@ -133,7 +133,12 @@ def main():
         t_blk = time.time()
         jax.block_until_ready(out["v3d"])
         durations.append(time.time() - t_blk)
-        humans = model.extract_persons(out)[0]
+        # trimmed readback: the demo consumes only v3d (meshes/views/obj),
+        # transl_pelvis + loc (--distance) — skipping j3d/j2d/rotvec/… saves
+        # most of the ~1 MB/slot device→host fetch per image
+        humans = model.extract_persons(
+            out, fields=["v3d", "transl_pelvis", "loc"]
+        )[0]
 
         w, h = (img_visu.size if hasattr(img_visu, "size") else img_visu.shape[1::-1])
         K_full = rescale_K_to_original(K_model, w, h, model.cfg.img_size)

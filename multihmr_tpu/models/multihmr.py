@@ -335,7 +335,10 @@ class MultiHMR:
         ]
         if fields is not None:
             keys = [(name, src) for name, src in keys if name in fields]
-        host = {name: np.asarray(out[src]) for name, src in keys}
+        # ONE device_get for all selected fields: copy_to_host_async on every
+        # leaf before the first blocking wait, instead of a serial np.asarray
+        # round-trip per key (10 tunnel RTTs → 1 overlapped fetch)
+        host = jax.device_get({name: out[src] for name, src in keys})
         for b in range(B):
             persons = []
             for k in range(valid.shape[1]):

@@ -28,12 +28,14 @@ def folder_inference(
     nms_kernel_size: int = 3,
     batch_size: Optional[int] = None,
     mesh=None,
+    fields: Optional[Sequence[str]] = None,
 ) -> List[list]:
     """Run the model over a set of images, data-parallel over the mesh.
 
     Returns per-image person lists (host-side dicts like extract_persons).
     The image count is padded to a full final batch; padding outputs are
-    dropped.
+    dropped. ``fields`` restricts the device→host readback per batch (see
+    :meth:`MultiHMR.extract_persons`).
     """
     if mesh is None:
         mesh = make_mesh(model_parallel=1)
@@ -66,6 +68,6 @@ def folder_inference(
         Kb = np.stack([K[i] for i in idxs] + [K[idxs[-1]]] * pad)
         with mesh:
             out = fwd(params, jnp.asarray(xb), jnp.asarray(Kb))
-        persons = model.extract_persons(out)
+        persons = model.extract_persons(out, fields=list(fields) if fields else None)
         results.extend(persons[: len(idxs)])
     return results

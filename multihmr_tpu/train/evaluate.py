@@ -151,7 +151,11 @@ def evaluate_dataset(
     for i in range(n):
         x, annot = dataset[i]
         out = fwd(params, jnp.asarray(x[None]), jnp.asarray(annot["K"][None]))
-        persons = model.extract_persons(out)[0]
+        # trimmed readback: the metrics below touch only v3d / j2d /
+        # transl_pelvis — one overlapped device_get instead of all 10 fields
+        persons = model.extract_persons(
+            out, fields=["v3d", "j2d", "transl_pelvis"]
+        )[0]
 
         # ---- GT meshes ----
         if gt_forward is not None:
