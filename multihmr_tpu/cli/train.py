@@ -48,6 +48,12 @@ def build_argparser():
     p.add_argument("--subsample", type=int, default=1)
     # optim (reference train.py:514,570)
     p.add_argument("--lr", type=float, default=5e-6)
+    p.add_argument(
+        "--clip_grad", type=float, default=0.0,
+        help="global grad-norm clip (0 = off, reference parity). The j2d/v2d "
+        "1/z reprojection grads can blow up at high lr — clipping keeps the "
+        "params finite (the Trainer aborts on a sustained NaN streak).",
+    )
     # parallelism (TPU-native addition — the reference is single-GPU,
     # SURVEY §2.3; validated by parallel/dryrun.py on an 8-device mesh)
     p.add_argument(
@@ -227,9 +233,14 @@ def main():
             batch = collate_padded(samples, cfg.max_people)
             yield {k: jnp.asarray(v) for k, v in batch.items()}
 
+    optimizer = optax.adam(args.lr)
+    if args.clip_grad > 0:
+        optimizer = optax.chain(
+            optax.clip_by_global_norm(args.clip_grad), optimizer
+        )
     trainer = Trainer(
         model,
-        optax.adam(args.lr),
+        optimizer,
         weights=weights,
         checkpoint_dir=os.path.join(args.ckptdir, args.name),
         nb_max_ckpt=args.nb_max_ckpt,

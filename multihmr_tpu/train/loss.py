@@ -121,7 +121,17 @@ def multihmr_loss(
     reg_v2d = masked_2d(pred["v2d"], gt["v2d"])
     reg_j2d = masked_2d(pred["j2d"], gt["j2d"])
 
+    # Failure-detection flag: the nan_to_num parity below means a fully
+    # NaN'd model keeps reporting total=0 forever (observed: j2d/v2d 1/z
+    # projection grads blow up at high lr, params NaN, loss silently reads
+    # 0). This flag survives the masking so the Trainer can detect it.
+    finite = jnp.all(jnp.isfinite(jnp.stack([
+        bce, reg_offset, reg_rotmat, reg_shape, reg_dist, reg_transl,
+        reg_j3d, reg_v3d, reg_j2d, reg_v2d,
+    ]))).astype(jnp.float32)
+
     terms = {
+        "finite": finite,
         "bce": _nan0(bce),
         "offset": _nan0(reg_offset),
         "rotmat": _nan0(reg_rotmat),

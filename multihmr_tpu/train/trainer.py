@@ -197,6 +197,14 @@ class Trainer:
     mesh: Optional[Any] = None
     fsdp: bool = False
     fsdp_min_size: int = 1 << 16  # don't shard params below this many elems
+    # Abort after this many CONSECUTIVE steps whose loss terms are non-finite
+    # (pre-nan_to_num). The reference's nan_to_num parity (loss.py) means a
+    # fully NaN'd parameter state keeps training "successfully" at loss 0
+    # forever — observed when the j2d/v2d 1/z projection grads blow up at
+    # high lr. A transient bad batch recovers (parity behavior, no abort);
+    # a sustained streak means the params are NaN and every further step is
+    # wasted chip time. 0 disables.
+    nan_abort_steps: int = 8
     # Loss-fetch window: jax dispatch is async, so fetching the loss every
     # step would (a) serialize one host↔device round trip per step — ~25 ms
     # through the remote-TPU tunnel, up to ~18% of wall at the measured
@@ -270,17 +278,40 @@ class Trainer:
             # fetches the steps run async and per-step wall time would only
             # measure dispatch
             meters = {k: AverageMeter(k) for k in ("data", "batch", "ratio_data")}
-            pending = []  # device-side loss scalars awaiting one fetch
+            pending = []  # device-side (total, finite) pairs awaiting one fetch
             data_win, win_n = 0.0, 0
+            nan_streak = 0
             t_end = t_win = time.perf_counter()
 
             def _drain():
-                nonlocal running, data_win, win_n, t_win
+                nonlocal running, data_win, win_n, t_win, nan_streak
                 if not pending:
                     return
                 # ONE transfer for the whole window
-                running += float(jnp.sum(jnp.stack(pending)))
+                totals, flags = jax.device_get(
+                    (jnp.stack([p[0] for p in pending]),
+                     jnp.stack([p[1] for p in pending]))
+                )
+                running += float(totals.sum())
                 pending.clear()
+                # NaN failure detection (see nan_abort_steps): the per-term
+                # nan_to_num masks a dead model as loss 0 — the raw-term
+                # finite flag doesn't.
+                for f in flags:
+                    nan_streak = 0 if f > 0 else nan_streak + 1
+                if flags.min() == 0:
+                    self.log_fn(
+                        f"WARNING: {int((flags == 0).sum())}/{len(flags)} steps "
+                        f"in this window had non-finite loss terms "
+                        f"(masked to 0 by nan_to_num parity)"
+                    )
+                if self.nan_abort_steps and nan_streak >= self.nan_abort_steps:
+                    raise RuntimeError(
+                        f"{nan_streak} consecutive steps with non-finite loss "
+                        f"terms — the parameters are almost certainly NaN and "
+                        f"nan_to_num parity is masking it as loss 0; aborting. "
+                        f"Lower the lr or add gradient clipping."
+                    )
                 wall = time.perf_counter() - t_win
                 meters["data"].update(data_win / win_n, n=win_n)
                 meters["batch"].update(wall / win_n, n=win_n)
@@ -294,7 +325,7 @@ class Trainer:
                     params, opt_state, terms = self.train_step(
                         params, opt_state, shard_batch(batch), epoch
                     )
-                pending.append(terms["total"])
+                pending.append((terms["total"], terms["finite"]))
                 data_win += t_data
                 win_n += 1
                 n += 1

@@ -163,6 +163,82 @@ def test_train_step_decreases_loss(rng):
     assert losses[-1] < losses[0], losses
 
 
+def test_overfit_pve():
+    """Overfitting ONE synthetic batch must drive PVE — the actual eval
+    metric — down, not just the loss scalar. This is the evidence that the
+    loss/prepare_gt/model gradient chain optimizes the metric the reference
+    reports (train.py:373-388 PVE), which loss-goes-down alone cannot show
+    (a miscalibrated v3d term could shrink while vertices drift)."""
+    from multihmr_tpu.train.metrics import pve
+
+    model = make_model()
+    cfg = model.cfg
+    params = model.init_params(jax.random.PRNGKey(0))
+    # 1e-4: the largest stable lr here — at 1e-3 the dist/transl grads blow
+    # up within ~15 steps and nan_to_num parity masks the dead model as
+    # loss 0 (that failure mode is covered by
+    # test_trainer_aborts_on_sustained_nan)
+    optimizer = optax.adam(1e-4)
+    opt_state = optimizer.init(params)
+    step = make_train_step(model, optimizer, LossWeights(), donate=False)
+
+    B, Kh = 1, 4
+    rng0 = np.random.default_rng(11)
+    batch = {
+        "image": jnp.asarray(rng0.normal(size=(B, 56, 56, 3)).astype(np.float32)),
+        "K": jnp.asarray(
+            np.array([[[100.0, 0, 28], [0, 100, 28], [0, 0, 1]]], np.float32)
+        ),
+        "gt_pose": jnp.asarray(
+            rng0.normal(scale=0.2, size=(B, Kh, 53, 3)).astype(np.float32)
+        ),
+        "gt_shape": jnp.asarray(rng0.normal(size=(B, Kh, 10)).astype(np.float32)),
+        # people laterally separated so they land in distinct heatmap cells
+        # (the collision drop would otherwise invalidate one)
+        "gt_transl": jnp.asarray(
+            [[[-0.9, 0, 4.0], [0.9, 0, 4.0], [0, 0, 4.0], [0, 0, 4.0]]],
+            jnp.float32,
+        ),
+        "gt_valid": jnp.asarray([[1, 1, 0, 0]], jnp.float32),
+    }
+    gt = prepare_gt(
+        model.body_model, batch["gt_pose"], batch["gt_shape"],
+        batch["gt_transl"], batch["gt_valid"], batch["K"],
+        img_size=cfg.img_size, patch_size=cfg.patch_size, person_center="head",
+    )
+    valid = np.asarray(gt["valid"]) > 0
+    assert valid.sum() == 2
+
+    fwd = jax.jit(
+        lambda p: model.forward(
+            p, batch["image"], batch["K"], is_training=True, gt_det=gt["det"]
+        )
+    )
+
+    def pve_mm(params):
+        pred = fwd(params)
+        # pelvis reshaped to [B, K, 1, 3] exactly like the loss —
+        # transl_pelvis may arrive [B, K, 3] or [B, K, 1, 3]
+        B, Kc = np.asarray(gt["valid"]).shape
+        vals = pve(
+            pred["v3d"], gt["v3d"],
+            np.asarray(pred["transl_pelvis"]).reshape(B, Kc, 1, 3),
+            np.asarray(gt["transl_pelvis"]).reshape(B, Kc, 1, 3),
+        )
+        return float(vals[valid].mean())
+
+    pve0 = pve_mm(params)
+    for _ in range(200):
+        params, opt_state, terms = step(params, opt_state, batch, 0)
+    assert float(terms["finite"]) == 1.0
+    assert np.isfinite(float(terms["total"]))
+    pve1 = pve_mm(params)
+    # the random tiny net starts ~2,200 mm and reaches ~250 mm by step 200
+    # (measured trajectory); the metric must collapse, not merely dent
+    assert pve1 < 0.2 * pve0, (pve0, pve1)
+    assert pve1 < 400.0, (pve0, pve1)
+
+
 def test_trainer_fit_with_checkpointing(tmp_path, rng):
     """Full Trainer.fit loop: epochs, checkpoint save + retention, eval hook."""
     from multihmr_tpu.train.trainer import Trainer
@@ -215,6 +291,45 @@ def test_trainer_fit_with_checkpointing(tmp_path, rng):
         tags = {_json.loads(ln)["tag"] for ln in f}
     assert {"workload/data", "workload/batch", "workload/ratio_data",
             "loss/total"} <= tags
+
+
+def test_trainer_aborts_on_sustained_nan(rng):
+    """The nan_to_num loss parity masks a NaN'd parameter state as loss 0
+    forever (observed: 1/z projection grads blow up at high lr). The Trainer
+    must abort on a sustained non-finite streak instead of silently burning
+    chip time — while a single bad batch only warns (reference behavior)."""
+    import pytest
+    from multihmr_tpu.train.trainer import Trainer
+
+    model = make_model()
+    params = model.init_params(jax.random.PRNGKey(0))
+    B, Kh = 1, 4
+
+    def data_iter():
+        for _ in range(30):
+            yield {
+                "image": jnp.asarray(rng.normal(size=(B, 56, 56, 3)).astype(np.float32)),
+                "K": jnp.asarray(
+                    np.array([[[100.0, 0, 28], [0, 100, 28], [0, 0, 1]]], np.float32)
+                ),
+                "gt_pose": jnp.asarray(
+                    rng.normal(scale=0.2, size=(B, Kh, 53, 3)).astype(np.float32)
+                ),
+                "gt_shape": jnp.asarray(rng.normal(size=(B, Kh, 10)).astype(np.float32)),
+                "gt_transl": jnp.asarray(
+                    (rng.normal(scale=0.3, size=(B, Kh, 3)) + [0, 0, 4]).astype(np.float32)
+                ),
+                "gt_valid": jnp.asarray([[1, 1, 0, 0]], jnp.float32),
+            }
+
+    lines = []
+    trainer = Trainer(
+        model, optax.sgd(1e12),  # guaranteed immediate divergence
+        log_fn=lines.append, sync_every=2, nan_abort_steps=4,
+    )
+    with pytest.raises(RuntimeError, match="non-finite"):
+        trainer.fit(params, data_iter, epochs=1)
+    assert any("WARNING" in ln for ln in lines)
 
 
 def test_trainer_sync_window_matches_per_step(rng):
