@@ -186,6 +186,41 @@ def _choose_blocks(N, block_q, block_kv, pad_to):
 # limit via LIBTPU_INIT_ARGS measurably SLOWS the kernel — don't.)
 _STEP_BYTES = 6_500_000
 _BSUB_TARGET = 544  # swept on v5e: ~544-row sub-blocks overlap MXU/VPU best
+# Budget for the mono-kv upgrade's full [bq, Np] score tile (all sub-block
+# tiles live at once). 9.0 MB admits the chip-validated 8704×256 case
+# (8.91 MB, ran on v5e alongside the [64, 8704] k/v blocks) and nothing
+# meaningfully larger.
+_MONO_SCORE_BYTES = 9_000_000
+
+
+def _mono_kv_upgrade(Np, bq, bkv, nsub, sub_align):
+    """Single-kv-step rewrite of a multi-step choice, when it fits VMEM.
+
+    Measured on v5e at the 1288² ViT shape (Np=8704, tools/sweep_tiling.py):
+    the default 4-step walk (bq=512, bkv=2176) runs 3.219 ms/layer; one
+    monolithic kv step with 512-row sub-blocks at a halved q-block
+    (bq=256, bkv=8704, nsub=17) runs **2.746 ms** (96 → 113 padded
+    TFLOP/s). The multi-step walk pays a [D+8, bq] accumulator rescale and
+    running-max correction per step and forfeits cross-sub MXU/VPU overlap
+    at the step boundaries; a fitting mono step pays only a narrower
+    q-block. Fires ONLY when the incoming choice is multi-step and a
+    bq ∈ {bq, bq/2, bq/4} keeps all sub-block score tiles (4·bq·Np bytes)
+    under _MONO_SCORE_BYTES — i.e. 672²/896² tilings are untouched. The
+    sub-block count may exceed the multi-step path's n ≤ 16 cap (n = 17
+    here): the kernel unrolls sub-blocks statically, so any divisor works.
+    """
+    if Np == bkv:
+        return Np, bq, bkv, nsub
+    for bq2 in (bq, bq // 2, bq // 4):
+        if (bq2 < 256 or bq2 % 128 or Np % bq2
+                or 4 * bq2 * Np > _MONO_SCORE_BYTES):
+            continue
+        cands = [n for n in range(1, Np // sub_align + 1)
+                 if Np % (sub_align * n) == 0]
+        n = min(cands, key=lambda c: abs(Np // c - _BSUB_TARGET))
+        if Np // n <= 2 * _BSUB_TARGET:  # no absurdly fat sub-blocks
+            return Np, bq2, Np, n
+    return Np, bq, bkv, nsub
 
 
 def _choose_fwd_blocks(N, block_q=None, block_kv=None, pad_to=None,
@@ -226,6 +261,8 @@ def _choose_fwd_blocks(N, block_q=None, block_kv=None, pad_to=None,
     for n in range(2, 17):
         if bkv % (sub_align * n) == 0 and abs(bkv // n - _BSUB_TARGET) < best:
             nsub, best = n, abs(bkv // n - _BSUB_TARGET)
+    if pad_to is None and not block_kv:  # explicit overrides are respected
+        Np, bq, bkv, nsub = _mono_kv_upgrade(Np, bq, bkv, nsub, sub_align)
     return Np, bq, bkv, nsub
 
 

@@ -42,17 +42,25 @@ def test_mha_reference_matches_naive(rng):
 def test_choose_fwd_blocks():
     from multihmr_tpu.ops.attention import _choose_fwd_blocks
 
+    from multihmr_tpu.ops.attention import _MONO_SCORE_BYTES
+
     for n in (577, 2305, 4097, 8465, 4096, 2304, 65, 129):
         Np, bq, bkv, nsub = _choose_fwd_blocks(n)
         assert Np >= n and Np % bq == 0 and Np % bkv == 0
         assert bkv % nsub == 0 and (bkv // nsub) % 8 == 0
-        assert bq * bkv * 4 <= 6_500_000 or bkv == bq
+        # either the per-step budget (multi-step walk) or the mono-kv
+        # upgrade's whole-score-tile budget must hold
+        assert bq * bkv * 4 <= max(6_500_000, _MONO_SCORE_BYTES) or bkv == bq
     # the flagship 896_L shape: one kv step, ~544-row sub-blocks
     Np, bq, bkv, nsub = _choose_fwd_blocks(4097)
     assert (Np, bq, bkv) == (4224, 384, 4224) and bkv // nsub == 528
-    # 1288_L: 8704 does NOT fit one step -> multiple kv steps w/ corrections
-    Np, bq, bkv, nsub = _choose_fwd_blocks(8465)
-    assert Np == 8704 and Np // bkv > 1
+    # 1288_L: the mono-kv upgrade (measured 3.219 -> 2.746 ms/layer on v5e,
+    # tools/sweep_tiling.py) halves bq to fit ONE kv step with ~544-row subs
+    assert _choose_fwd_blocks(8465) == (8704, 256, 8704, 16)
+    assert _choose_fwd_blocks(8465, sub_align=128) == (8704, 256, 8704, 17)
+    # a length whose mono score tile exceeds the budget stays multi-step
+    Np, bq, bkv, nsub = _choose_fwd_blocks(9300, sub_align=128)
+    assert Np // bkv > 1 and bq * Np * 4 > _MONO_SCORE_BYTES
     # transposed stream (kv is a LANE dim): every block must be 128-aligned,
     # including off-ViT lengths like 4866 (Np=4992 has the 8-aligned divisor
     # 2496 that would mis-tile lane slices)
@@ -127,14 +135,39 @@ def test_mha_reference_t_matches_standard(rng):
     )
 
 
-def test_flash_t_multistep_matches_reference(rng):
-    """Transposed kernel on a kv_steps>1 length (the production 1288_L
-    path: 8465→8704 runs 4 kv steps). N=4481 → Np=4608, kv_steps=2 is the
-    smallest 128-aligned multi-step shape. No prior test reached the
-    transposed kernel's online-correction multi-step branch (N=1200 pads
-    to a single step); this pins it against plain attention."""
-    from multihmr_tpu.ops.attention import flash_attention_t
+def test_flash_t_multistep_matches_reference(rng, monkeypatch):
+    """Transposed kernel on a kv_steps>1 tiling (the online-correction
+    branch). Since the round-4 mono-kv upgrade, every shape that fits the
+    score-tile budget runs ONE kv step — so the multi-step branch is pinned
+    here by forcing the pre-upgrade tiling (4608, 512, 2304, 4) at N=4481,
+    exactly what the production 1288_L path used to run (4 kv steps). The
+    branch still matters: lengths past ~9k tokens (e.g. a 1680² config)
+    exceed the budget and fall back to it — see test_choose_fwd_blocks."""
+    from multihmr_tpu.ops import attention as att
 
+    monkeypatch.setattr(
+        att, "_choose_fwd_blocks",
+        lambda *a, **kw: (4608, 512, 2304, 4),
+    )
+    B, H, N, D = 1, 2, 4481, 64
+    q, k, v = [
+        jnp.asarray((0.3 * rng.normal(size=(B, H, N, D))).astype(np.float32))
+        for _ in range(3)
+    ]
+    t = lambda x: x.transpose(0, 1, 3, 2)
+    out_t = att._flash_fwd_impl_t.__wrapped__(t(q), t(k), t(v), None, True)[0]
+    ref = mha_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(t(out_t)), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_t_mono_upgrade_matches_reference(rng):
+    """The mono-kv upgrade's tiling class (halved q-block, bkv = Np, odd
+    sub-block count) vs plain attention. N=4481 upgrades to
+    (4608, 256, 4608, 9) — same code shape as the production 1288_L tiling
+    (8704, 256, 8704, 17) that measured 2.746 ms/layer on v5e."""
+    from multihmr_tpu.ops.attention import _choose_fwd_blocks, flash_attention_t
+
+    assert _choose_fwd_blocks(4481, sub_align=128) == (4608, 256, 4608, 9)
     B, H, N, D = 1, 2, 4481, 64
     q, k, v = [
         jnp.asarray((0.3 * rng.normal(size=(B, H, N, D))).astype(np.float32))
@@ -146,16 +179,22 @@ def test_flash_t_multistep_matches_reference(rng):
     np.testing.assert_allclose(np.asarray(t(out_t)), np.asarray(ref), atol=2e-5)
 
 
-def test_outlier_in_later_kv_step(rng):
+def test_outlier_in_later_kv_step(rng, monkeypatch):
     """An extreme outlier key in a LATER KV STEP must not overflow the
     sub-block-0 softmax offset — the cross-step analogue of
-    test_sub0_offset_outlier_headroom. N=4481 runs 2 kv steps (bkv=2304);
-    the outlier sits at key 4000 (step 1, sub-block 4) with a logit ~150
-    exp2-units above every sub-block-0 max — inside the +_SUB0_MARGIN
-    headroom (~178 units) that both the online-correction multi-step path
-    and any fixed-offset variant (see DESIGN.md §3d) must provide."""
-    from multihmr_tpu.ops.attention import flash_attention_t
+    test_sub0_offset_outlier_headroom. The pre-upgrade multi-step tiling
+    (4608, 512, 2304, 4) is forced (see
+    test_flash_t_multistep_matches_reference); the outlier sits at key 4000
+    (step 1, sub-block 4) with a logit ~150 exp2-units above every
+    sub-block-0 max — inside the +_SUB0_MARGIN headroom (~178 units) that
+    both the online-correction multi-step path and any fixed-offset variant
+    (see DESIGN.md §3d) must provide."""
+    from multihmr_tpu.ops import attention as att
 
+    monkeypatch.setattr(
+        att, "_choose_fwd_blocks",
+        lambda *a, **kw: (4608, 512, 2304, 4),
+    )
     B, H, N, D = 1, 1, 4481, 64
     c = 28.85  # c*c/sqrt(64) ≈ 104 nats ≈ 150 exp2-units
     q = np.zeros((B, H, N, D), np.float32)
@@ -167,7 +206,8 @@ def test_outlier_in_later_kv_step(rng):
     q, k, v = jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
 
     t = lambda x: x.transpose(0, 1, 3, 2)
-    out_t = flash_attention_t(t(q), t(k), t(v), None, True)
+    # __wrapped__ (unjitted): the patched tiling must not enter the jit cache
+    out_t = att._flash_fwd_impl_t.__wrapped__(t(q), t(k), t(v), None, True)[0]
     ref = mha_reference(q, k, v)  # global-max softmax: immune by design
     assert np.isfinite(np.asarray(out_t)).all(), "multi-step sub-0 offset overflowed"
     np.testing.assert_allclose(np.asarray(t(out_t)), np.asarray(ref), atol=2e-5)
