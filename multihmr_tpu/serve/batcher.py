@@ -117,6 +117,21 @@ class DynamicBatcher:
         self._worker.start()
 
     # ------------------------------------------------------------- frontend
+    def warmup(self, x_shape: tuple, dtype=np.float32):
+        """Compile + execute one dummy full batch synchronously.
+
+        ``x_shape``/``dtype``: one request's image shape and WIRE dtype
+        (must match real submissions — a mismatch would compile a second
+        program and leave the real one cold). Without this, the FIRST real
+        requests pay the jit compile inside their submit() wait — on a
+        remote TPU that is minutes, past the submit timeout, so a cold
+        server 500s everything until the compile lands (observed with
+        672_B batch-8). Runs outside the worker/stats path.
+        """
+        x = np.zeros((self.max_batch,) + tuple(x_shape), dtype)
+        K = np.tile(np.eye(3, dtype=np.float32), (self.max_batch, 1, 1))
+        self.extract_fn(self.batch_fn(x, K), 0)
+
     def submit(self, x: np.ndarray, K: np.ndarray, timeout: float = 60.0):
         """Block until this request's result is ready; raises on worker error."""
         req = _Request(np.asarray(x), np.asarray(K))
@@ -168,7 +183,7 @@ class DynamicBatcher:
     def _dispatch(self, reqs: List[_Request]):
         """Pad to capacity and launch the device program (async)."""
         B = self.max_batch
-        x = np.zeros((B,) + reqs[0].x.shape, np.float32)
+        x = np.zeros((B,) + reqs[0].x.shape, reqs[0].x.dtype)
         K = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
         for i, r in enumerate(reqs):
             x[i] = r.x

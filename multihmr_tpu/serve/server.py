@@ -56,10 +56,27 @@ def build_batched_infer(model, params, max_batch: int = 8,
     # Force "fused" for data-parallel serving; keep "auto" (= lax.map, same
     # per-image latency as batch 1) on a single chip.
     bm = "fused" if mesh is not None else "auto"
-    body = lambda p, x, K: model.forward(
-        p, x, K, det_thresh=det_thresh, nms_kernel_size=nms_kernel_size,
-        batch_mode=bm,
-    )
+    # Wire format: raw uint8 pixels, ImageNet-normalized ON DEVICE inside
+    # the jit. Host→device upload is the serving bottleneck, not compute —
+    # measured through the remote-TPU tunnel (~38 MB/s): a fp32
+    # [8,672,672,3] batch is 43 MB = 1.12 s of upload vs 46 ms of model
+    # compute; uint8 is 4× smaller (285 ms) and the normalize is a free
+    # fused prologue. The dispatch is on the input DTYPE at trace time, so
+    # callers submitting pre-normalized fp32 (tests, AOT artifacts exported
+    # with normalized inputs) still work unchanged; only the live-model
+    # path's preprocess emits the u8 wire.
+    wire_u8 = forward_fn is None
+
+    def body(p, x, K):
+        if x.dtype == jnp.uint8:
+            from multihmr_tpu.ops.image import IMG_NORM_MEAN, IMG_NORM_STD
+
+            x = (x.astype(jnp.float32) / 255.0
+                 - jnp.asarray(IMG_NORM_MEAN)) / jnp.asarray(IMG_NORM_STD)
+        return model.forward(
+            p, x, K, det_thresh=det_thresh, nms_kernel_size=nms_kernel_size,
+            batch_mode=bm,
+        )
     if forward_fn is not None:
         fwd = forward_fn
     elif mesh is not None:
@@ -91,11 +108,14 @@ def build_batched_infer(model, params, max_batch: int = 8,
         from multihmr_tpu.io.preprocessing import preprocess_array
 
         p = preprocess_array(img_rgb, S, fov=fov)
+        if wire_u8:  # raw resized pixels; normalization happens on device
+            return np.asarray(p.resized, np.uint8), p.K, p.original
         return p.x, p.K, p.original
 
     batcher = DynamicBatcher(
         batch_fn, extract_fn, max_batch=max_batch, max_delay_ms=max_delay_ms
     )
+    batcher.wire_dtype = np.uint8 if wire_u8 else np.float32
     return batcher, preprocess
 
 
@@ -115,12 +135,14 @@ def _persons_json(persons) -> bytes:
 def make_server(model, params, port: int = 8000, max_batch: int = 8,
                 det_thresh: float = 0.3, nms_kernel_size: int = 3,
                 max_delay_ms: float = 5.0, forward_fn=None,
-                json_only: bool = False, mesh=None):
+                json_only: bool = False, mesh=None, warmup: bool = True):
     """Build (ThreadingHTTPServer, batcher). Caller runs serve_forever().
     ``forward_fn``/``mesh``: see :func:`build_batched_infer`. ``json_only``:
     skip the mesh-tensor (v3d/rotvec/shape/...) device readback —
     /infer?render=1 then returns 400, and per-request latency drops to the
-    JSON fields' readback only."""
+    JSON fields' readback only. ``warmup``: compile + run one dummy batch
+    before returning, so the first clients never wait out the jit compile
+    inside their request timeout (see :meth:`DynamicBatcher.warmup`)."""
     from PIL import Image
 
     from multihmr_tpu.render import overlay_human_meshes
@@ -132,6 +154,9 @@ def make_server(model, params, port: int = 8000, max_batch: int = 8,
         forward_fn=forward_fn, fields=json_fields if json_only else None,
         mesh=mesh,
     )
+    if warmup:
+        batcher.warmup((model.cfg.img_size, model.cfg.img_size, 3),
+                       dtype=batcher.wire_dtype)
     faces = np.asarray(model.body_model.faces)
 
     class Handler(BaseHTTPRequestHandler):
@@ -205,7 +230,14 @@ def make_server(model, params, port: int = 8000, max_batch: int = 8,
                     json.dumps({"error": f"{type(e).__name__}: {e}"}).encode(),
                 )
 
-    srv = ThreadingHTTPServer(("0.0.0.0", port), Handler)
+    class Server(ThreadingHTTPServer):
+        # socketserver's default listen backlog is 5: a burst of concurrent
+        # clients beyond that gets TCP connection resets (observed at 24
+        # clients under load test). The batcher queue is the real limiter.
+        request_queue_size = 128
+        daemon_threads = True
+
+    srv = Server(("0.0.0.0", port), Handler)
     srv.batcher = batcher  # for tests / shutdown
     return srv, batcher
 

@@ -1,0 +1,176 @@
+"""Serving-under-load benchmark: drive the batching HTTP server on-chip.
+
+The model-level numbers in BENCH_SWEEP.json (e.g. 672_B batch-8 ~172 img/s)
+measure one jit program in a loop; this tool measures the PRODUCTION serving
+surface instead — `serve.server.make_server` (stdlib ThreadingHTTPServer +
+DynamicBatcher) under genuinely concurrent HTTP clients, so the number
+includes request parsing, JPEG decode, preprocessing, batch coalescing, the
+device step, and the JSON readback tail. The reference has no serving stack
+to compare against (app.py is a one-image-at-a-time gradio demo); the
+comparison point is this repo's own model-level throughput ceiling.
+
+Usage:
+  python tools/bench_serve.py [--model_name multiHMR_672_B] [--clients 24]
+      [--requests 20] [--max_batch 8] [--max_delay_ms 5] [--no-merge]
+
+Prints one JSON line with client-side p50/p95/img_s and the server's own
+/stats snapshot (batch-size histogram, server-side latency), and merges a
+``serve_<name>`` entry into BENCH_SWEEP.json unless --no-merge.
+"""
+
+import argparse
+import io
+import json
+import os
+import sys
+import threading
+import time
+import urllib.error
+import urllib.request
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_jpegs(n: int, w: int = 800, h: int = 600) -> list:
+    """A few distinct synthetic JPEGs so decode work is realistic."""
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    out = []
+    for _ in range(n):
+        # smooth gradient + noise compresses like a photo, not like static
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = np.stack(
+            [(xx * 255 / w), (yy * 255 / h), ((xx + yy) * 255 / (w + h))], -1
+        )
+        img = np.clip(base + rng.normal(0, 12, (h, w, 3)), 0, 255).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="JPEG", quality=90)
+        out.append(buf.getvalue())
+    return out
+
+
+def run_load(url: str, jpegs: list, clients: int, requests_each: int):
+    """Drive ``clients`` concurrent threads, each POSTing ``requests_each``
+    images sequentially. Returns (per-request latencies s, wall s, errors)."""
+    lat = [[] for _ in range(clients)]
+    errors = []
+    start_gate = threading.Event()
+
+    def client(ci: int):
+        start_gate.wait()
+        for ri in range(requests_each):
+            body = jpegs[(ci + ri) % len(jpegs)]
+            req = urllib.request.Request(
+                url + "/infer", data=body,
+                headers={"Content-Type": "image/jpeg"},
+            )
+            t0 = time.perf_counter()
+            try:
+                with urllib.request.urlopen(req, timeout=120) as r:
+                    json.loads(r.read())
+                lat[ci].append(time.perf_counter() - t0)
+            except urllib.error.HTTPError as e:  # pragma: no cover
+                body = e.read()[:200].decode(errors="replace")
+                errors.append(f"client {ci} req {ri}: HTTP {e.code}: {body}")
+            except Exception as e:  # pragma: no cover - load-test diagnostics
+                errors.append(f"client {ci} req {ri}: {type(e).__name__}: {e}")
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(clients)]
+    for t in threads:
+        t.start()
+    t0 = time.perf_counter()
+    start_gate.set()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    return [x for l in lat for x in l], wall, errors
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_name", default="multiHMR_672_B")
+    p.add_argument("--clients", type=int, default=24)
+    p.add_argument("--requests", type=int, default=20)
+    p.add_argument("--max_batch", type=int, default=8)
+    p.add_argument("--max_delay_ms", type=float, default=5.0)
+    p.add_argument("--no-merge", action="store_true")
+    args = p.parse_args()
+
+    import jax
+
+    from multihmr_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()  # share bench.py's warm .jax_cache
+
+    from multihmr_tpu.factory import build_model
+    from multihmr_tpu.serve.server import make_server, serve_forever_in_thread
+    from multihmr_tpu.utils.precision import cast_backbone_bf16
+
+    model, _ = build_model(args.model_name)
+    params = cast_backbone_bf16(model.init_params(jax.random.PRNGKey(0)))
+    jax.block_until_ready(params)
+
+    # json_only: production JSON clients don't pay the mesh-tensor readback.
+    # make_server's warmup compiles + runs one dummy batch before returning.
+    t0 = time.perf_counter()
+    srv, batcher = make_server(
+        model, params, port=0, max_batch=args.max_batch,
+        max_delay_ms=args.max_delay_ms, json_only=True,
+    )
+    print(f"# server up (compile) {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    serve_forever_in_thread(srv)
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+
+    jpegs = make_jpegs(4)
+
+    # HTTP-path warmup burst (handler threads, decode, batcher round trip)
+    _, warm_wall, errs = run_load(url, jpegs, clients=args.max_batch, requests_each=1)
+    if errs:
+        print("\n".join(errs), file=sys.stderr)
+        raise SystemExit("warmup failed")
+    # the warmup burst stays out of the reported server-side stats
+    batcher.stats = type(batcher.stats)()
+
+    lat, wall, errs = run_load(url, jpegs, args.clients, args.requests)
+    if errs:
+        print("\n".join(errs[:5]), file=sys.stderr)
+    with urllib.request.urlopen(url + "/stats", timeout=10) as r:
+        stats = json.loads(r.read())
+    srv.shutdown()
+    batcher.close()
+
+    lat_ms = 1e3 * np.asarray(lat)
+    n_ok = len(lat)
+    result = {
+        "model": args.model_name,
+        "clients": args.clients,
+        "requests_ok": n_ok,
+        "requests_failed": len(errs),
+        "throughput_img_s": round(n_ok / wall, 1),
+        "client_latency_ms": {
+            "p50": round(float(np.percentile(lat_ms, 50)), 1),
+            "p95": round(float(np.percentile(lat_ms, 95)), 1),
+            "max": round(float(lat_ms.max()), 1),
+        },
+        "server_stats": stats,
+    }
+    print(json.dumps(result), flush=True)
+
+    if not args.no_merge:
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "BENCH_SWEEP.json",
+        )
+        with open(path) as f:
+            sweep = json.load(f)
+        sweep["results"][f"serve_{args.model_name}"] = result
+        with open(path, "w") as f:
+            json.dump(sweep, f, indent=1)
+        print(f"# merged into {path}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
