@@ -408,14 +408,27 @@ class MultiHMRAnny:
         valid = np.asarray(out["det"].valid)
         keys = ["loc", "transl", "transl_pelvis", "rotvec", "rotmat", "shape",
                 "v3d", "j3d", "j2d"]
-        host = {k: np.asarray(out[k]) for k in keys}
-        K_used = np.asarray(out["K"])
-        K_reg = np.asarray(out["K_regressed"])
-        fov = np.asarray(out["fov_regressed"])
+        # Same trimmed readback as MultiHMR.extract_persons: valid slots are
+        # a K-axis prefix (ops/detection.py sorts invalid last), so fetch
+        # only [:, :kmax] of each field, all in ONE overlapped device_get.
+        kmax = int(valid.sum(-1).max())
+        if kmax == 0:
+            return [[] for _ in range(valid.shape[0])]
+        fetched = jax.device_get(
+            {
+                "fields": {k: out[k][:, :kmax] for k in keys},
+                "K": out["K"], "K_regressed": out["K_regressed"],
+                "fov": out["fov_regressed"],
+            }
+        )
+        host = fetched["fields"]
+        K_used = fetched["K"]
+        K_reg = fetched["K_regressed"]
+        fov = fetched["fov"]
         result = []
         for b in range(valid.shape[0]):
             persons = []
-            for k in range(valid.shape[1]):
+            for k in range(kmax):
                 if valid[b, k] > 0:
                     p = {name: host[name][b, k] for name in keys}
                     p["K"] = K_used[b]

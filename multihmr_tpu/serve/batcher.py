@@ -44,7 +44,13 @@ class _Request:
 
 
 class BatcherStats:
-    """Thread-safe rolling serving stats (exposed at GET /stats)."""
+    """Thread-safe rolling serving stats (exposed at GET /stats).
+
+    Besides request latency, tracks the worker's per-batch phase walls —
+    ``dispatch_ms`` (pad + host→device upload + async launch) and
+    ``extract_ms`` (device sync + readback + per-request split) — so a load
+    test can attribute throughput to upload vs compute vs readback instead
+    of guessing (the phases share one serial worker thread)."""
 
     def __init__(self):
         self._lock = threading.Lock()
@@ -52,6 +58,8 @@ class BatcherStats:
         self.batches = 0
         self.batch_size_hist: dict = {}
         self.latencies_ms: List[float] = []
+        self.dispatch_ms: List[float] = []
+        self.extract_ms: List[float] = []
 
     def record(self, batch_size: int, latencies_ms: List[float]):
         with self._lock:
@@ -64,9 +72,26 @@ class BatcherStats:
             if len(self.latencies_ms) > 10_000:
                 self.latencies_ms = self.latencies_ms[-5_000:]
 
+    def record_phase(self, name: str, ms: float):
+        with self._lock:
+            lst = getattr(self, name + "_ms")
+            lst.append(ms)
+            if len(lst) > 10_000:
+                del lst[:5_000]
+
+    @staticmethod
+    def _pcts(values: List[float]):
+        if not values:
+            return None
+        a = np.asarray(values)
+        return {
+            "p50": round(float(np.percentile(a, 50)), 2),
+            "p95": round(float(np.percentile(a, 95)), 2),
+            "max": round(float(a.max()), 2),
+        }
+
     def snapshot(self) -> dict:
         with self._lock:
-            lat = np.asarray(self.latencies_ms) if self.latencies_ms else None
             return {
                 "requests": self.requests,
                 "batches": self.batches,
@@ -74,11 +99,9 @@ class BatcherStats:
                 "mean_batch_size": (
                     round(self.requests / self.batches, 2) if self.batches else 0
                 ),
-                "latency_ms": None if lat is None else {
-                    "p50": round(float(np.percentile(lat, 50)), 2),
-                    "p95": round(float(np.percentile(lat, 95)), 2),
-                    "max": round(float(lat.max()), 2),
-                },
+                "latency_ms": self._pcts(self.latencies_ms),
+                "dispatch_ms": self._pcts(self.dispatch_ms),
+                "extract_ms": self._pcts(self.extract_ms),
             }
 
 
@@ -188,13 +211,18 @@ class DynamicBatcher:
         for i, r in enumerate(reqs):
             x[i] = r.x
             K[i] = r.K
-        return self.batch_fn(x, K)  # jax dispatch is async — returns early
+        t0 = time.perf_counter()
+        out = self.batch_fn(x, K)  # jax dispatch is async — returns early
+        self.stats.record_phase("dispatch", (time.perf_counter() - t0) * 1e3)
+        return out
 
     def _resolve(self, reqs: List[_Request], device_out):
         """Host-side extraction + future completion for a dispatched batch."""
         try:
+            t0 = time.perf_counter()
             results = self.extract_fn(device_out, len(reqs))
             now = time.perf_counter()
+            self.stats.record_phase("extract", (now - t0) * 1e3)
             lats = []
             for r, res in zip(reqs, results):
                 r.result = res
