@@ -261,7 +261,9 @@ def _choose_fwd_blocks(N, block_q=None, block_kv=None, pad_to=None,
     for n in range(2, 17):
         if bkv % (sub_align * n) == 0 and abs(bkv // n - _BSUB_TARGET) < best:
             nsub, best = n, abs(bkv // n - _BSUB_TARGET)
-    if pad_to is None and not block_kv:  # explicit overrides are respected
+    # explicit overrides are respected — incl. block_q (a pinned q-block is
+    # a tuning/VMEM request; the upgrade halves it, so it must not fire)
+    if pad_to is None and not block_kv and block_q is None:
         Np, bq, bkv, nsub = _mono_kv_upgrade(Np, bq, bkv, nsub, sub_align)
     return Np, bq, bkv, nsub
 

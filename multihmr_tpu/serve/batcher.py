@@ -116,6 +116,12 @@ class DynamicBatcher:
       max_batch: the compiled batch capacity B.
       max_delay_ms: how long the worker waits for more requests after the
         first one arrives (the latency/throughput knob; 0 = never wait).
+      wire_dtype: if set, ``submit`` rejects images of any other dtype. A
+        coalesced batch takes its buffer dtype from its FIRST request, so
+        mixing uint8-wire and pre-normalized fp32 submissions in one batch
+        would silently corrupt whichever requests lose the race (unsafe
+        fp32→u8 cast, or raw u8 pixels running through the fp32 trace that
+        skips on-device normalization) — fail fast instead.
     """
 
     def __init__(
@@ -124,11 +130,13 @@ class DynamicBatcher:
         extract_fn: Callable,
         max_batch: int = 8,
         max_delay_ms: float = 5.0,
+        wire_dtype=None,
     ):
         self.batch_fn = batch_fn
         self.extract_fn = extract_fn
         self.max_batch = int(max_batch)
         self.max_delay_ms = float(max_delay_ms)
+        self.wire_dtype = None if wire_dtype is None else np.dtype(wire_dtype)
         self.stats = BatcherStats()
         self._q: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
@@ -140,24 +148,33 @@ class DynamicBatcher:
         self._worker.start()
 
     # ------------------------------------------------------------- frontend
-    def warmup(self, x_shape: tuple, dtype=np.float32):
+    def warmup(self, x_shape: tuple, dtype=None):
         """Compile + execute one dummy full batch synchronously.
 
         ``x_shape``/``dtype``: one request's image shape and WIRE dtype
         (must match real submissions — a mismatch would compile a second
-        program and leave the real one cold). Without this, the FIRST real
+        program and leave the real one cold; defaults to the batcher's
+        ``wire_dtype``, else fp32). Without this, the FIRST real
         requests pay the jit compile inside their submit() wait — on a
         remote TPU that is minutes, past the submit timeout, so a cold
         server 500s everything until the compile lands (observed with
         672_B batch-8). Runs outside the worker/stats path.
         """
+        if dtype is None:
+            dtype = self.wire_dtype if self.wire_dtype is not None else np.float32
         x = np.zeros((self.max_batch,) + tuple(x_shape), dtype)
         K = np.tile(np.eye(3, dtype=np.float32), (self.max_batch, 1, 1))
         self.extract_fn(self.batch_fn(x, K), 0)
 
     def submit(self, x: np.ndarray, K: np.ndarray, timeout: float = 60.0):
         """Block until this request's result is ready; raises on worker error."""
-        req = _Request(np.asarray(x), np.asarray(K))
+        x = np.asarray(x)
+        if self.wire_dtype is not None and x.dtype != self.wire_dtype:
+            raise TypeError(
+                f"batcher wire dtype is {self.wire_dtype}, got {x.dtype} — "
+                "a mixed-dtype coalesced batch would corrupt results"
+            )
+        req = _Request(x, np.asarray(K))
         with self._close_lock:
             if self._stop.is_set():
                 raise RuntimeError("batcher closed")  # fail fast on shutdown

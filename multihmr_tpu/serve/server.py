@@ -28,7 +28,7 @@ import numpy as np
 def build_batched_infer(model, params, max_batch: int = 8,
                         det_thresh: float = 0.3, nms_kernel_size: int = 3,
                         max_delay_ms: float = 5.0, forward_fn=None,
-                        fields=None, mesh=None):
+                        fields=None, mesh=None, wire: str = "u8"):
     """(batcher, preprocess) for ``model`` at a fixed batch capacity.
 
     ``forward_fn``: optional ``(params, x, K) -> out`` override replacing the
@@ -56,16 +56,18 @@ def build_batched_infer(model, params, max_batch: int = 8,
     # Force "fused" for data-parallel serving; keep "auto" (= lax.map, same
     # per-image latency as batch 1) on a single chip.
     bm = "fused" if mesh is not None else "auto"
-    # Wire format: raw uint8 pixels, ImageNet-normalized ON DEVICE inside
-    # the jit. Host→device upload is the serving bottleneck, not compute —
-    # measured through the remote-TPU tunnel (~38 MB/s): a fp32
-    # [8,672,672,3] batch is 43 MB = 1.12 s of upload vs 46 ms of model
-    # compute; uint8 is 4× smaller (285 ms) and the normalize is a free
-    # fused prologue. The dispatch is on the input DTYPE at trace time, so
-    # callers submitting pre-normalized fp32 (tests, AOT artifacts exported
-    # with normalized inputs) still work unchanged; only the live-model
-    # path's preprocess emits the u8 wire.
-    wire_u8 = forward_fn is None
+    # Wire format (``wire``: "u8" default, or "f32"): raw uint8 pixels,
+    # ImageNet-normalized ON DEVICE inside the jit. Host→device upload is
+    # the serving bottleneck, not compute — measured through the remote-TPU
+    # tunnel (~38 MB/s): a fp32 [8,672,672,3] batch is 43 MB = 1.12 s of
+    # upload vs 46 ms of model compute; uint8 is 4× smaller (285 ms) and
+    # the normalize is a free fused prologue. The batcher ENFORCES one
+    # dtype per wire (a coalesced batch takes its buffer dtype from its
+    # first request, so mixing would silently corrupt results) — callers
+    # submitting pre-normalized fp32 arrays directly (equivalence tests,
+    # AOT artifacts exported with normalized inputs) pass wire="f32";
+    # forward_fn artifacts force it.
+    wire_u8 = forward_fn is None and wire == "u8"
 
     def body(p, x, K):
         if x.dtype == jnp.uint8:
@@ -113,9 +115,9 @@ def build_batched_infer(model, params, max_batch: int = 8,
         return p.x, p.K, p.original
 
     batcher = DynamicBatcher(
-        batch_fn, extract_fn, max_batch=max_batch, max_delay_ms=max_delay_ms
+        batch_fn, extract_fn, max_batch=max_batch, max_delay_ms=max_delay_ms,
+        wire_dtype=np.uint8 if wire_u8 else np.float32,
     )
-    batcher.wire_dtype = np.uint8 if wire_u8 else np.float32
     return batcher, preprocess
 
 

@@ -61,6 +61,10 @@ def test_choose_fwd_blocks():
     # a length whose mono score tile exceeds the budget stays multi-step
     Np, bq, bkv, nsub = _choose_fwd_blocks(9300, sub_align=128)
     assert Np // bkv > 1 and bq * Np * 4 > _MONO_SCORE_BYTES
+    # an EXPLICIT block_q pins the q-block: the mono-kv upgrade must not
+    # silently halve it (tuning sweeps / VMEM-bounding callers rely on this)
+    Np, bq, bkv, nsub = _choose_fwd_blocks(8465, block_q=512)
+    assert bq == 512 and Np // bkv > 1
     # transposed stream (kv is a LANE dim): every block must be 128-aligned,
     # including off-ViT lengths like 4866 (Np=4992 has the 8-aligned divisor
     # 2496 that would mis-tile lane slices)

@@ -40,7 +40,7 @@ class _FakeModel:
         self._events.append("dispatch")
         return {"v3d": jnp.zeros((1, 2, 12, 3))}
 
-    def extract_persons(self, out):
+    def extract_persons(self, out, fields=None):
         return [[]]
 
 

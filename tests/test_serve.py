@@ -230,6 +230,26 @@ def test_u8_wire_matches_host_normalized():
         )
 
 
+def test_wire_dtype_mismatch_rejected():
+    """A batcher enforces ONE wire dtype: the coalesced buffer takes its
+    dtype from the first request of a batch, so a uint8-wire batcher must
+    reject fp32 submissions (and vice versa) instead of silently corrupting
+    whichever request loses the coalescing race."""
+    from multihmr_tpu.serve.server import build_batched_infer
+
+    model, params = _tiny_model()
+    S = model.cfg.img_size
+    batcher, _ = build_batched_infer(
+        model, params, max_batch=2, det_thresh=0.1, max_delay_ms=1.0
+    )
+    try:
+        assert batcher.wire_dtype == np.uint8
+        with pytest.raises(TypeError, match="wire dtype"):
+            batcher.submit(np.zeros((S, S, 3), np.float32), np.eye(3))
+    finally:
+        batcher.close()
+
+
 def test_dp_mesh_serving_matches_single():
     """Data-parallel serving (batch sharded over the 8-device mesh) must
     produce the same persons as the unsharded path."""
@@ -247,7 +267,7 @@ def test_dp_mesh_serving_matches_single():
 
     dp_batcher, _ = build_batched_infer(
         model, params, max_batch=8, det_thresh=0.1, max_delay_ms=1.0,
-        mesh=mesh,
+        mesh=mesh, wire="f32",  # submitting pre-normalized arrays directly
     )
     try:
         got = dp_batcher.submit(x, K)
@@ -287,7 +307,7 @@ def test_server_batch_mode_selection(with_mesh, expected):
     mesh = make_mesh(8, model_parallel=1) if with_mesh else None
     batcher, _ = build_batched_infer(
         model, params, max_batch=8, det_thresh=0.1, max_delay_ms=1.0,
-        mesh=mesh,
+        mesh=mesh, wire="f32",  # submitting pre-normalized arrays directly
     )
     try:
         S = model.cfg.img_size

@@ -6,7 +6,9 @@ slice) the device→host readback is a small fraction of an EHF-scale eval
 sweep's wall clock — real EHF (reference datasets/ehf.py: 100 frames, 1-2
 people each) is asset-blocked, so this drives the REAL eval surface
 (`train.evaluate.evaluate_dataset`) over a synthetic 100-image fixture set
-with EHF-like GT (smplx-vertex meshes, 1-2 people) on the actual chip.
+with EHF-like GT (1-2 people; precomputed meshes/joints fed through the
+``gt_forward`` hook so GT costs only host numpy in the timed loop) on the
+actual chip.
 
 Random weights predict garbage meshes — PVE here is meaningless — but the
 timing is real: the forward, the detection slots, the readback bytes, and
@@ -131,15 +133,21 @@ def main():
 
     model.extract_persons = timed_extract
 
+    # use the fixtures' precomputed GT (host numpy only) — the default
+    # smplx_vertices path would re-project j2d through a per-image eager
+    # device op, polluting the wall clock this tool exists to attribute
+    gt_forward = lambda annot: annot["gt"]
+
     # warm the jit outside the timed sweep (remote compile is minutes)
     evaluate_dataset(model, params, dataset[:1], det_thresh=det_thresh,
-                     log_every=0)
+                     gt_forward=gt_forward, log_every=0)
     t_wait[0] = t_extract[0] = 0.0
     n_persons[0] = 0
 
     t0 = time.perf_counter()
     results = evaluate_dataset(
-        model, params, dataset, det_thresh=det_thresh, log_every=0
+        model, params, dataset, det_thresh=det_thresh,
+        gt_forward=gt_forward, log_every=0
     )
     wall = time.perf_counter() - t0
 

@@ -150,7 +150,9 @@ def main():
         "requests_ok": n_ok,
         "requests_failed": len(errs),
         "throughput_img_s": round(n_ok / wall, 1),
-        "client_latency_ms": {
+        # n_ok == 0 (every request failed) must still report the failure
+        # counts + server stats instead of crashing on an empty percentile
+        "client_latency_ms": None if n_ok == 0 else {
             "p50": round(float(np.percentile(lat_ms, 50)), 1),
             "p95": round(float(np.percentile(lat_ms, 95)), 1),
             "max": round(float(lat_ms.max()), 1),
