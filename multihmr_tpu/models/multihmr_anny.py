@@ -52,7 +52,7 @@ from multihmr_tpu.ops.camera import (
     perspective_projection,
 )
 from multihmr_tpu.ops.rotations import (
-    rot6d_to_rotmat,
+    rot6d_cols_to_rotmat,
     rotmat_to_rotvec,
     rotation_to_homogeneous,
 )
@@ -252,7 +252,9 @@ class MultiHMRAnnyNet(nn.Module):
         )
         rot6d = RegressionMLP(c.xat_dim, c.n_joints * 6, name="mlp_pose")(pose_in)
         rot6d = rot6d + init_pose
-        rotmat = rot6d_to_rotmat(rot6d.reshape(B, Kcap, c.n_joints, 6))
+        # Anny 6d layout is column-pairs (reference multi_hmr.py:158 reshapes
+        # (-1,3,2)) — NOT the SMPL-X row layout the HPH head uses.
+        rotmat = rot6d_cols_to_rotmat(rot6d.reshape(B, Kcap, c.n_joints, 6))
 
         useful = jnp.asarray(USEFUL_ROTMAT)[: c.n_joints].reshape(1, 1, -1, 1, 1)
         eye = jnp.eye(3)

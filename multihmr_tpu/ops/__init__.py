@@ -1,5 +1,6 @@
 from multihmr_tpu.ops.rotations import (  # noqa: F401
     rot6d_to_rotmat,
+    rot6d_cols_to_rotmat,
     rotvec_to_rotmat,
     rotmat_to_rotvec,
     rotmat_to_unitquat,

@@ -44,6 +44,31 @@ def rot6d_to_rotmat(x: jax.Array) -> jax.Array:
     return jnp.stack([b1, b2, b3], axis=-1)  # columns
 
 
+def rot6d_cols_to_rotmat(x: jax.Array) -> jax.Array:
+    """6D → rotation matrices, Anny-variant column-pair layout.
+
+    The Anny head flattens ``R[:, :, :2]`` row-major and decodes with
+    ``roma.special_gramschmidt(x.reshape(-1, 3, 2))`` (reference
+    multi_hmr_anny/multi_hmr.py:92-93,158): the 6 values interleave the two
+    column vectors as ``[a1x a2x a1y a2y a1z a2z]`` — NOT the SMPL-X row
+    layout :func:`rot6d_to_rotmat` expects (utils/humans.py:12-22 reshapes
+    ``(-1, 2, 3)`` then transposes). The identity's 6d differs between the
+    two layouts, so using the wrong decoder silently breaks every
+    identity-initialised joint.
+    """
+    batch = x.shape[:-1]
+    x = x.reshape(batch + (3, 2))
+    a1, a2 = x[..., 0], x[..., 1]
+
+    def _normalize(v):
+        return v * jax.lax.rsqrt(jnp.sum(v * v, axis=-1, keepdims=True) + 1e-12)
+
+    b1 = _normalize(a1)
+    b2 = _normalize(a2 - jnp.sum(b1 * a2, axis=-1, keepdims=True) * b1)
+    b3 = jnp.cross(b1, b2)
+    return jnp.stack([b1, b2, b3], axis=-1)  # columns
+
+
 def rotvec_to_rotmat(rotvec: jax.Array) -> jax.Array:
     """Rodrigues formula, axis-angle ``(..., 3)`` → rotation matrix ``(..., 3, 3)``.
 

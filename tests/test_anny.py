@@ -11,7 +11,7 @@ from multihmr_tpu.models.multihmr_anny import (
     _default_init_pose,
 )
 from multihmr_tpu.bodymodel.anny import synthetic_anny_model, NUM_BONES
-from multihmr_tpu.ops.rotations import rot6d_to_rotmat
+from multihmr_tpu.ops.rotations import rot6d_cols_to_rotmat
 
 
 def tiny_anny():
@@ -39,10 +39,18 @@ def test_useful_rotmat_mask():
 def test_default_init_pose_is_valid_rotation():
     pose = _default_init_pose(NUM_BONES)
     assert pose.shape == (1, NUM_BONES * 6)
-    R = np.asarray(rot6d_to_rotmat(pose.reshape(NUM_BONES, 6)[:1]))
+    # Anny 6d is the COLUMN-pair layout (reference multi_hmr.py:92-93,158);
+    # decoding with the SMPL-X row layout makes the identity 6d degenerate
+    # (a1 ∥ a2) — caught by the full-pipeline golden, pinned here.
+    R = np.asarray(rot6d_cols_to_rotmat(pose.reshape(NUM_BONES, 6)))
     # root init must reproduce rotvec [pi/2, 0, 0]
     expected = np.array([[1, 0, 0], [0, 0, -1], [0, 1, 0]], np.float32)
     np.testing.assert_allclose(R[0], expected, atol=1e-5)
+    # every non-root init must decode to EXACT identity
+    np.testing.assert_allclose(
+        R[1:], np.broadcast_to(np.eye(3, dtype=np.float32), (NUM_BONES - 1, 3, 3)),
+        atol=1e-6,
+    )
 
 
 def test_anny_forward_shapes():

@@ -15,7 +15,7 @@ from multihmr_tpu.models.smplx_layer import SMPLXCameraLayer
 from multihmr_tpu.ops import rotvec_to_rotmat, inverse_perspective_projection
 
 
-def torch_lbs(model, rotmats, betas, expression):
+def torch_lbs(model, rotmats, betas, expression, return_transforms=False):
     v_template = torch.from_numpy(np.asarray(model.v_template))
     shapedirs = torch.from_numpy(np.asarray(model.shapedirs))
     exprdirs = torch.from_numpy(np.asarray(model.exprdirs))
@@ -50,6 +50,8 @@ def torch_lbs(model, rotmats, betas, expression):
     T = torch.einsum("vj,bjmn->bvmn", weights, A)
     hom = torch.cat([v_posed, torch.ones(B, v_posed.shape[1], 1)], -1)
     verts = torch.einsum("bvmn,bvn->bvm", T, hom)[..., :3]
+    if return_transforms:
+        return verts, posed_joints, G  # G: [B,J,4,4] world transforms
     return verts, posed_joints
 
 

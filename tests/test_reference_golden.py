@@ -24,6 +24,8 @@ trimesh) — the stubs are never called, they only satisfy import statements.
 """
 
 import importlib
+import os
+import pickle
 import importlib.util
 import pathlib
 import sys
@@ -1155,3 +1157,740 @@ def test_smpl_layer_vs_reference_given_transl(rng, monkeypatch):
         np.testing.assert_allclose(
             np.asarray(got[key]), want[key].numpy(), atol=2e-5, err_msg=key
         )
+
+
+# ---------------------------------------------------------------------------
+# multi_hmr_anny/multi_hmr.py:98-246 — FULL-PIPELINE golden for the Anny glue
+# ---------------------------------------------------------------------------
+# The SMPL-X pipeline has its assembled-machine golden above; this is the
+# Anny variant's. Converted random weights run through BOTH pipelines; the
+# reference's hub backbone is stubbed to emit OUR ViT's patch+cls tokens and
+# ``anny.create_fullbody_model`` is stubbed with a torch module running the
+# INDEPENDENT torch LBS over the same synthetic AnnyModel, so the comparison
+# isolates the glue: FOV→K from the cls token (encoder.py:49-56), pos-embed +
+# dec_to_token query assembly (multi_hmr.py:127-137), loc=(col,row)+0.5+offset
+# (:144-146), dist = focal/exp(d) simple depth encoding (:149-153),
+# useful_rotmat identity blending (:161-164), phenotype dict construction
+# (:168-172), person-center re-centering + projection (:182-186), and the
+# across-batch depth sort of the persons list (:238).
+
+
+def _numpy_lattice_interp(knots, lattice, p):
+    """Independent multilinear lattice interpolation (dimension-by-dimension
+    reduction — a different algorithm from the jax path's strided corner sum
+    in bodymodel/anny.py::phenotype_to_coeffs)."""
+    n_used, nk = knots.shape
+    grid = lattice.reshape((nk,) * n_used + (lattice.shape[1],)).astype(np.float64)
+    out = np.zeros((p.shape[0], lattice.shape[1]), np.float64)
+    for b in range(p.shape[0]):
+        block = grid
+        for d in range(n_used):
+            kd = knots[d]
+            x = float(np.clip(p[b, d], kd[0], kd[-1]))
+            i = int(np.clip(np.searchsorted(kd, x, side="right") - 1, 0, nk - 2))
+            t = (x - kd[i]) / max(kd[i + 1] - kd[i], 1e-12)
+            block = (1.0 - t) * block[i] + t * block[i + 1]
+        out[b] = block
+    return out.astype(np.float32)
+
+
+def _make_torch_anny_stub(model):
+    """``anny.create_fullbody_model`` stand-in: torch module with the real
+    anny call contract (bone/phenotype labels, set_skinning_method, forward
+    on homogeneous pose matrices + phenotype kwargs → vertices / bone_poses /
+    blendshape_coeffs; reference multi_hmr_anny/multi_hmr.py:70-77,178-181)
+    running the independent torch LBS from tests/test_bodymodel.py."""
+    from tests.test_bodymodel import torch_lbs
+    from multihmr_tpu.bodymodel.anny import USED_PHENOTYPES
+
+    base = model.base
+    knots = np.asarray(model.pheno_knots)
+    lattice = np.asarray(model.pheno_lattice)
+    n_shape = int(np.asarray(base.shapedirs).shape[-1])
+
+    class StubAnny(torch.nn.Module):
+        bone_labels = list(model.bone_labels)
+        phenotype_labels = list(model.phenotype_labels)
+
+        def set_skinning_method(self, method):
+            assert method == "lbs"
+
+        def forward(self, pose_parameters=None, phenotype_kwargs=None):
+            p = np.stack(
+                [phenotype_kwargs[k].detach().numpy() for k in USED_PHENOTYPES],
+                axis=-1,
+            )
+            coeffs = torch.from_numpy(_numpy_lattice_interp(knots, lattice, p))
+            rotmats = pose_parameters[..., :3, :3].float()
+            B = rotmats.shape[0]
+            verts, _, G = torch_lbs(
+                base, rotmats, coeffs[:, :n_shape], torch.zeros(B, 0),
+                return_transforms=True,
+            )
+            return {"vertices": verts, "bone_poses": G, "blendshape_coeffs": coeffs}
+
+    return StubAnny()
+
+
+def _build_anny_full_pipeline(rng, monkeypatch):
+    """Both Anny pipelines from ONE converted random state dict."""
+    from multihmr_tpu.config import ViTConfig
+    from multihmr_tpu.io.checkpoint import convert_torch_checkpoint_anny
+    from multihmr_tpu.models.vit import DINOv2ViT
+    from multihmr_tpu.models.multihmr_anny import AnnyConfig, MultiHMRAnny
+    from multihmr_tpu.bodymodel.anny import synthetic_anny_model, NUM_BONES
+    from tests.test_anny_checkpoint import make_anny_state_dict
+
+    cfg = AnnyConfig(
+        img_size=70, xat_dim=32, xat_depth=2, xat_heads=2, xat_dim_head=8,
+        xat_mlp_dim=64, max_people=6, num_betas=11, compute_dtype="float32",
+        vit_override=ViTConfig(embed_dim=32, depth=2, num_heads=2),
+    )
+    sd = make_anny_state_dict(cfg, rng)
+    # 1/sqrt(fan_in) scale keeps activations O(1) (see _build_full_pipeline)
+    for k, v in sd.items():
+        if v.ndim >= 2 and k.endswith(".weight") and "norm" not in k:
+            sd[k] = (v / np.sqrt(v.shape[-1])).astype(np.float32)
+
+    body = synthetic_anny_model(num_vertices=64, num_bones=NUM_BONES)
+
+    load_ref_model_module()  # installs roma/smplx/pyrender/trimesh stubs
+    _patch_roma(monkeypatch)
+    anny_mod = _stub_module("anny")
+    monkeypatch.setattr(
+        anny_mod,
+        "create_fullbody_model",
+        lambda **kw: _make_torch_anny_stub(body),
+        raising=False,
+    )
+
+    holder = {}  # filled with our ViT's tokens after conversion
+
+    class StubHubViT(torch.nn.Module):
+        patch_size = cfg.patch_size
+        embed_dim = cfg.vit.embed_dim
+
+        def get_intermediate_layers(self, x, return_class_token=False):
+            n = x.shape[0]
+            t = torch.from_numpy(holder["tokens"][:n].copy())
+            c = torch.from_numpy(holder["cls"][:n].copy())
+            return [(t, c)] if return_class_token else [t]
+
+    monkeypatch.setattr(torch.hub, "load", lambda *a, **k: StubHubViT())
+
+    sys.path.insert(0, str(REF))
+    try:
+        refm = importlib.import_module("multi_hmr_anny.multi_hmr")
+    finally:
+        sys.path.remove(str(REF))
+
+    ref_model = refm.Multi_HMR(
+        img_size=cfg.img_size,
+        backbone="dinov2_vitb14",
+        pretrained_backbone=False,
+        xat_dim=cfg.xat_dim,
+        xat_depth=cfg.xat_depth,
+        xat_heads=cfg.xat_heads,
+        xat_dim_head=cfg.xat_dim_head,
+        xat_mlp_dim=cfg.xat_mlp_dim,
+        person_center=cfg.person_center,
+        num_betas=cfg.num_betas,
+        simple_depth_encoding=1,
+    ).eval()
+
+    # real checkpoints carry these buffers; take the reference's own values
+    # so the converter sees exactly what a real .pt would contain — and so
+    # any drift in OUR literals (USEFUL_ROTMAT, _default_init_pose, sincos
+    # pos-embed) surfaces as an output mismatch below.
+    msd = ref_model.state_dict()
+    sd["dec_pos_emb"] = msd["dec_pos_emb"].numpy().astype(np.float32)
+    sd["init_body_pose"] = msd["init_body_pose"].numpy().astype(np.float32)
+    sd["useful_rotmat"] = msd["useful_rotmat"].numpy().astype(np.float32)
+
+    missing, unexpected = ref_model.load_state_dict(
+        {k: torch.from_numpy(v) for k, v in sd.items()}, strict=False
+    )
+    assert set(missing) <= {"eye", "encoder.fov_max"}, missing
+    assert all(
+        k.startswith(("encoder.backbone.", "body_model")) for k in unexpected
+    ), f"head keys failed to load: {unexpected}"
+
+    params = convert_torch_checkpoint_anny({"model_state_dict": sd}, cfg)
+
+    B = 3
+    x = rng.normal(size=(B, cfg.img_size, cfg.img_size, 3)).astype(np.float32)
+    K = np.broadcast_to(
+        np.array([[77.0, 0, 35], [0, 77.0, 35], [0, 0, 1]], np.float32), (B, 3, 3)
+    ).copy()
+    K[:, 0, 0] += rng.normal(scale=2, size=B)
+    K[:, 1, 1] = K[:, 0, 0]
+
+    vit = DINOv2ViT(cfg.vit, grid_size=cfg.grid_size, dtype=jnp.float32)
+    vout = vit.apply(
+        {"params": params["params"]["encoder"]["backbone"]}, jnp.asarray(x)
+    )
+    holder["tokens"] = np.asarray(vout["patch_tokens"], np.float32)
+    holder["cls"] = np.asarray(vout["cls_token"], np.float32)
+
+    ours = MultiHMRAnny(cfg, body)
+    return cfg, params, ours, ref_model, x, K
+
+
+def test_anny_full_pipeline_vs_reference(rng, monkeypatch):
+    """End-to-end: converted random weights through our MultiHMRAnny vs the
+    reference Multi_HMR.forward (multi_hmr_anny/multi_hmr.py:98-246), eval +
+    training modes, 0/1/many persons, explicit-K and regressed-K paths."""
+    from multihmr_tpu.ops.detection import nms_maxpool
+
+    cfg, params, ours, ref_model, x, K = _build_anny_full_pipeline(rng, monkeypatch)
+    B = x.shape[0]
+    xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))  # NCHW for torch
+    Kt = torch.from_numpy(K)
+
+    probe = ours.net.apply(params, jnp.asarray(x), jnp.asarray(K), det_thresh=2.0)
+    nms_np = np.asarray(nms_maxpool(probe["scores"], 3))
+    t_zero, t_one, t_many = _pick_thresholds(nms_np, cfg.max_people)
+
+    # FOV→K regression glue (encoder.py:49-56): regressed K must agree so
+    # the K=None comparison below starts from identical intrinsics
+    np.testing.assert_allclose(
+        np.asarray(probe["K_regressed"]),
+        ref_model.encoder(xt)["K"].detach().numpy(),
+        rtol=1e-5, atol=1e-5,
+    )
+
+    # --- zero-person path: reference returns ({}, []) (multi_hmr.py:124) ---
+    with torch.no_grad():
+        res = ref_model(xt, det_thresh=t_zero, nms_kernel_size=3, K=Kt)
+    assert isinstance(res, tuple) and list(res[1]) == []
+    out0 = ours.net.apply(params, jnp.asarray(x), jnp.asarray(K), det_thresh=t_zero)
+    assert np.asarray(out0["det"].valid).sum() == 0
+
+    # --- eval mode: persons list, depth-sorted ACROSS the batch (:238) ---
+    # t_one with explicit K; t_many (incl. an empty image) with K=None, which
+    # routes the regressed FOV→K through dist/transl/projection.
+    for thresh, K_in in ((t_one, K), (t_many, None)):
+        out = ours.forward(
+            params, jnp.asarray(x), None if K_in is None else jnp.asarray(K_in),
+            det_thresh=thresh, nms_kernel_size=3, batch_mode="fused",
+        )
+        det = out["det"]
+        flat = _flatten_det(det)
+        valid = np.asarray(det.valid).astype(bool)
+        fl = lambda key: np.asarray(out[key])[valid]
+
+        with torch.no_grad():
+            persons = ref_model(
+                xt, det_thresh=thresh, nms_kernel_size=3,
+                K=None if K_in is None else Kt,
+            )
+        assert len(persons) == len(flat) == int(valid.sum())
+
+        order = np.argsort(fl("transl")[:, 2], kind="stable")
+        imgs = np.array([b for b, _, _ in flat])[order]
+        K_used = np.asarray(out["K"])
+        kw = dict(rtol=3e-4, atol=2e-4)
+        for i, p in enumerate(persons):
+            j = order[i]
+            np.testing.assert_allclose(K_used[imgs[i]], p["K"].numpy(), atol=1e-4)
+            np.testing.assert_allclose(fl("loc")[j], p["loc"].numpy(), atol=2e-3)
+            np.testing.assert_allclose(fl("shape")[j], p["shape"].numpy(), **kw)
+            np.testing.assert_allclose(fl("rotmat")[j], p["rotmat"].numpy(), atol=3e-4)
+            np.testing.assert_allclose(fl("rotvec")[j], p["rotvec"].numpy(), atol=5e-4)
+            np.testing.assert_allclose(
+                fl("transl")[j], p["transl"].numpy(), rtol=3e-4, atol=1e-3
+            )
+            np.testing.assert_allclose(
+                fl("transl_pelvis")[j], p["transl_pelvis"].numpy(),
+                rtol=3e-4, atol=1e-3,
+            )
+            np.testing.assert_allclose(
+                fl("v3d")[j], p["v3d"].numpy(), rtol=3e-4, atol=2e-3
+            )
+            np.testing.assert_allclose(
+                fl("j3d")[j], p["j3d"].numpy(), rtol=3e-4, atol=2e-3
+            )
+            np.testing.assert_allclose(fl("j2d")[j], p["j2d"].numpy(), atol=1e-2)
+
+    # --- training mode with the same idx: flat out dict (:212-213) ---
+    out = ours.forward(
+        params, jnp.asarray(x), jnp.asarray(K),
+        det_thresh=t_many, nms_kernel_size=3, batch_mode="fused",
+    )
+    det = out["det"]
+    flat = _flatten_det(det)
+    valid = np.asarray(det.valid).astype(bool)
+    tr = ours.forward(
+        params, jnp.asarray(x), jnp.asarray(K),
+        is_training=True, gt_det=det, batch_mode="fused",
+    )
+    fl = lambda key: np.asarray(tr[key])[valid]
+    idx = tuple(
+        torch.tensor(v, dtype=torch.long)
+        for v in zip(*[(b, r, c) for b, r, c in flat])
+    )
+    with torch.no_grad():
+        ref_out = ref_model(xt, idx=idx, K=Kt, is_training=True)
+
+    kw = dict(rtol=3e-4, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(tr["scores"]), ref_out["scores"].numpy(), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(tr["scores_logits"]), ref_out["scores_logits"].numpy(), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(tr["fov_regressed"]), ref_out["fov_regressed"].numpy(), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(tr["K_regressed"]), ref_out["K_regressed"].numpy(),
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(fl("offset"), ref_out["offset"].numpy(), **kw)
+    np.testing.assert_allclose(fl("loc"), ref_out["loc"].numpy(), atol=2e-3)
+    np.testing.assert_allclose(
+        fl("dist_postprocessed"), ref_out["dist_postprocessed"].numpy(), **kw
+    )
+    np.testing.assert_allclose(fl("dist"), ref_out["dist"].numpy(), rtol=5e-4)
+    np.testing.assert_allclose(fl("shape"), ref_out["shape"].numpy(), **kw)
+    np.testing.assert_allclose(fl("rotmat"), ref_out["rotmat"].numpy(), atol=3e-4)
+    np.testing.assert_allclose(fl("rotvec"), ref_out["rotvec"].numpy(), atol=5e-4)
+    np.testing.assert_allclose(
+        fl("blendshape_coeffs"), ref_out["blendshape_coeffs"].numpy(), atol=3e-4
+    )
+    np.testing.assert_allclose(
+        fl("transl"), ref_out["transl"].numpy(), rtol=3e-4, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        fl("transl_pelvis"), ref_out["transl_pelvis"].numpy(), rtol=3e-4, atol=1e-3
+    )
+    for key, tol in (
+        ("v3d", dict(rtol=3e-4, atol=2e-3)),
+        ("j3d", dict(rtol=3e-4, atol=2e-3)),
+        ("j2d", dict(atol=1e-2)),
+        ("v2d", dict(atol=1e-2)),
+    ):
+        np.testing.assert_allclose(fl(key), ref_out[key].numpy(), **tol)
+
+
+# ---------------------------------------------------------------------------
+# datasets/bedlam.py:23-313 — BEDLAM loader golden vs the reference class
+# ---------------------------------------------------------------------------
+# The training-data math (npz→annot builder, closeup −90° fix, contain+pad K
+# update, horizontal-flip SMPL-X mirroring, depth sort, front-of-camera
+# filter) run through the reference's own Dataset on a synthetic BEDLAM tree.
+
+
+def load_ref_datasets_bedlam():
+    """Import the reference datasets/bedlam.py as a package module (needs
+    the utils package + smplx/tqdm; smplx.create is only called by the
+    annotation builder and never used afterwards, so an inert stub works)."""
+    if "ref_ds_bedlam" in _loaded:
+        return _loaded["ref_ds_bedlam"]
+    load_ref_model_module()  # installs roma/smplx/pyrender/trimesh stubs
+    smplx = sys.modules["smplx"]
+    if not hasattr(smplx, "create"):
+        smplx.create = lambda *a, **k: None
+    # standalone-file load: the reference's datasets/ has no __init__.py, so
+    # a package import would be shadowed by the installed HF `datasets`
+    mod = load_ref_file("datasets/bedlam.py")
+    _loaded["ref_ds_bedlam"] = mod
+    return mod
+
+
+def _make_bedlam_tree(root, rng):
+    """Synthetic BEDLAM layout: one npz sequence, one landscape image + one
+    portrait 'closeup' (exercising the stored-rotated size swap at reference
+    datasets/bedlam.py:133-134 and the −90° rotation fix at :221-223)."""
+    from PIL import Image
+
+    split = "validation"
+    img_dir = root / split / "seq_000" / "png"
+    img_dir.mkdir(parents=True)
+    npz_dir = root / f"all_npz_12_{split}"
+    npz_dir.mkdir(parents=True)
+
+    sizes = {"img_a.png": (40, 28), "closeup_b.png": (24, 36)}  # (w, h)
+    for name, (w, h) in sizes.items():
+        arr = (rng.uniform(0, 255, size=(h, w, 3))).astype(np.uint8)
+        Image.fromarray(arr).save(img_dir / name)
+
+    # rows 0,1 → img_a (row 1 BEHIND the camera: filtered when training),
+    # row 2 → closeup_b
+    imgname = np.array(["img_a.png", "img_a.png", "closeup_b.png"])
+    pose_cam = rng.normal(scale=0.5, size=(3, 165)).astype(np.float32)
+    shape = rng.normal(size=(3, 11)).astype(np.float32)
+    cam_int = np.tile(
+        np.array([[230.0, 0, 20], [0, 228.0, 14], [0, 0, 1]], np.float32),
+        (3, 1, 1),
+    )
+    cam_int[2] = np.array([[200.0, 0, 12], [0, 205.0, 18], [0, 0, 1]], np.float32)
+    cam_ext = np.tile(np.eye(4, dtype=np.float32), (3, 1, 1))
+    cam_ext[:, :3, 3] = rng.normal(size=(3, 3)).astype(np.float32)
+    trans_cam = rng.normal(size=(3, 3)).astype(np.float32)
+    trans_cam[:, 2] += 4.0
+    trans_cam[1, 2] = -6.0  # person behind the camera
+    np.savez(
+        npz_dir / "seq_000.npz",
+        pose_cam=pose_cam, cam_int=cam_int, cam_ext=cam_ext, shape=shape,
+        imgname=imgname, trans_cam=trans_cam,
+    )
+
+
+def _assert_humans_equal(got, want, atol=1e-6):
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g["smplx_gender"] == w["smplx_gender"]
+        for k in w:
+            if k in ("smplx_gender",):
+                continue
+            np.testing.assert_allclose(
+                np.asarray(g[k], np.float64), np.asarray(w[k], np.float64),
+                atol=atol, err_msg=k,
+            )
+
+
+def _ref_training_draw(seed, n):
+    """Emulate the reference's global-`random` consumption in a training
+    __getitem__ (datasets/bedlam.py:194,226,232): choices(idx) → choice(flip)
+    → choice(crop)."""
+    import random as _random
+
+    _random.seed(seed)
+    i = _random.choices(range(n))[0]
+    f = _random.choice([0, 1])
+    return i, f
+
+
+def _ours_training_draw(seed, n):
+    """Emulate our loader's seeded-Random consumption (data/bedlam.py)."""
+    import random as _random
+
+    r = _random.Random(seed)
+    i = r.randrange(n)
+    f = r.choice([0, 1])
+    return i, f
+
+
+def test_bedlam_loader_vs_reference(rng, tmp_path):
+    import random as _random
+
+    from multihmr_tpu.data.bedlam import BEDLAM as OurBEDLAM
+
+    refmod = load_ref_datasets_bedlam()
+    root = tmp_path / "BEDLAM"
+    _make_bedlam_tree(root, rng)
+
+    # --- annotation builder (reference datasets/bedlam.py:98-190) ---
+    orig_annot_dir = refmod.ANNOT_DIR
+    refmod.ANNOT_DIR = str(tmp_path / "annots_ref")
+    try:
+        ref_ds = refmod.BEDLAM(
+            split="validation", training=False, img_size=64,
+            root_dir=str(root), force_build_dataset=1,
+        )
+    finally:
+        refmod.ANNOT_DIR = orig_annot_dir
+    ours = OurBEDLAM(
+        split="validation", training=False, img_size=64, root_dir=str(root),
+        annotations_dir=str(tmp_path / "annots_ours"), force_build_dataset=True,
+    )
+    assert sorted(ref_ds.annots.keys()) == sorted(ours.annots.keys())
+    for key in ref_ds.annots:
+        w, g = ref_ds.annots[key], ours.annots[key]
+        np.testing.assert_allclose(g["focal"], w["focal"], atol=0)
+        np.testing.assert_allclose(g["princpt"], w["princpt"], atol=0)
+        np.testing.assert_array_equal(g["size"], w["size"])
+        _assert_humans_equal(g["humans"], w["humans"], atol=0)
+
+    # --- eval __getitem__: contain+pad resize, K update, depth sort (no
+    # front-of-camera filter: the z<0 person must survive) ---
+    for idx in range(len(ours.imagenames)):
+        want_img, want = ref_ds[idx]
+        got_img, got = ours[idx]
+        assert got["imagename"] == want["imagename"]
+        np.testing.assert_allclose(
+            np.transpose(got_img, (2, 0, 1)), want_img, atol=1e-6
+        )
+        np.testing.assert_allclose(got["K"], want["K"], rtol=1e-6)
+        _assert_humans_equal(got["humans"], want["humans"])
+    assert any(
+        h["smplx_transl"][-1] < 0
+        for i in range(len(ours.imagenames))
+        for h in ours[i][1]["humans"]
+    ), "fixture should keep the behind-camera person in eval mode"
+
+    # --- training __getitem__: flip mirroring + behind-camera filter ---
+    # The reference draws from the GLOBAL random; ours from a seeded Random.
+    # Align them by scanning seeds until both draw the same (idx, flip).
+    n = len(ours.imagenames)
+    # sorted imagenames put the closeup at idx 0: (0,1) = flipped closeup
+    # (rotation+flip compose), (1,1) = flipped landscape with the behind-
+    # camera filter, (0,0) = unflipped closeup
+    for target in [(0, 1), (1, 1), (0, 0)]:
+        s_ref = next(s for s in range(1000) if _ref_training_draw(s, n) == target)
+        s_ours = next(s for s in range(1000) if _ours_training_draw(s, n) == target)
+
+        ref_tr = refmod.BEDLAM(
+            split="validation", training=True, img_size=64,
+            root_dir=str(root), n_iter=8,
+        )
+        our_tr = OurBEDLAM(
+            split="validation", training=True, img_size=64, root_dir=str(root),
+            annotations_dir=str(tmp_path / "annots_ours"), n_iter=8,
+            seed=s_ours,
+        )
+        _random.seed(s_ref)
+        want_img, want = ref_tr[0]
+        got_img, got = our_tr[0]
+        assert got["imagename"] == want["imagename"]
+        np.testing.assert_allclose(
+            np.transpose(got_img, (2, 0, 1)), want_img, atol=1e-6
+        )
+        np.testing.assert_allclose(got["K"], want["K"], rtol=1e-6)
+        _assert_humans_equal(got["humans"], want["humans"])
+        assert all(h["smplx_transl"][-1] > 0.01 for h in got["humans"])
+
+
+# ---------------------------------------------------------------------------
+# datasets/ehf.py:25-157 — EHF loader golden vs the reference class
+# ---------------------------------------------------------------------------
+# Validates OUR hardcoded EHF camera constants + numpy Rodrigues against the
+# reference's roma-computed extrinsics, the PLY→camera-space GT transform,
+# and the fov-roundtrip K update — with plyfile stubbed by an independent
+# in-test binary parser (the file itself is written by the fixture).
+
+
+def _write_binary_ply(path, verts):
+    header = (
+        b"ply\nformat binary_little_endian 1.0\n"
+        b"element vertex %d\n" % len(verts)
+        + b"property float x\nproperty float y\nproperty float z\n"
+        b"end_header\n"
+    )
+    with open(path, "wb") as f:
+        f.write(header)
+        f.write(np.ascontiguousarray(verts, "<f4").tobytes())
+
+
+def load_ref_datasets_ehf():
+    if "ref_ds_ehf" in _loaded:
+        return _loaded["ref_ds_ehf"]
+    load_ref_model_module()
+
+    class _PlyElementDict(dict):
+        pass
+
+    class _PlyData:
+        """Independent minimal parser for the fixture's binary PLY layout."""
+
+        @staticmethod
+        def read(path):
+            with open(path, "rb") as f:
+                n = None
+                while True:
+                    line = f.readline().strip()
+                    if line.startswith(b"element vertex"):
+                        n = int(line.split()[2])
+                    if line == b"end_header":
+                        break
+                data = np.frombuffer(f.read(12 * n), dtype="<f4").reshape(n, 3)
+            return {"vertex": {"x": data[:, 0], "y": data[:, 1], "z": data[:, 2]}}
+
+    _stub_module("plyfile", PlyData=_PlyData)
+    mod = load_ref_file("datasets/ehf.py")
+    _loaded["ref_ds_ehf"] = mod
+    return mod
+
+
+def test_ehf_loader_vs_reference(rng, tmp_path, monkeypatch):
+    from PIL import Image
+
+    from multihmr_tpu.data.ehf import EHF as OurEHF
+
+    refmod = load_ref_datasets_ehf()
+    _patch_roma(monkeypatch)
+
+    root = tmp_path / "EHF"
+    root.mkdir()
+    for i, (w, h) in enumerate([(40, 30), (30, 44)]):
+        verts = rng.normal(scale=0.4, size=(37, 3)).astype(np.float32)
+        _write_binary_ply(root / f"{i:02d}_align.ply", verts)
+        arr = rng.uniform(0, 255, size=(h, w, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(root / f"{i:02d}_img.png")
+
+    monkeypatch.setattr(refmod, "EHF_DIR", str(root))
+    monkeypatch.setattr(refmod, "ANNOT_DIR", str(tmp_path / "annots_ref"))
+    ref_ds = refmod.EHF(
+        split="test", img_size=64, root_dir=str(root), force_build_dataset=1
+    )
+    ours = OurEHF(
+        split="test", img_size=64, root_dir=str(root),
+        annotations_dir=str(tmp_path / "annots_ours"), force_build_dataset=True,
+    )
+
+    assert sorted(ref_ds.annots.keys()) == sorted(ours.annots.keys())
+    for key in ref_ds.annots:
+        w, g = ref_ds.annots[key], ours.annots[key]
+        np.testing.assert_allclose(g["focal"], w["focal"], atol=0)
+        np.testing.assert_allclose(g["princpt"], w["princpt"], atol=0)
+        np.testing.assert_array_equal(g["size"], w["size"])
+        # PLY verts → official camera frame: R (our numpy Rodrigues vs the
+        # reference's roma) and t must agree to float precision
+        np.testing.assert_allclose(
+            g["humans"][0]["smplx_vertices"],
+            w["humans"][0]["smplx_vertices"],
+            atol=1e-6,
+        )
+
+    for idx in range(len(ours)):
+        want_img, want = ref_ds[idx]
+        got_img, got = ours[idx]
+        assert got["imagename"] == want["imagename"]
+        np.testing.assert_allclose(
+            np.transpose(got_img, (2, 0, 1)), want_img, atol=1e-6
+        )
+        np.testing.assert_allclose(got["K"], want["K"], rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# datasets/threedpw.py:24-217 — 3DPW loader golden vs the reference class
+# ---------------------------------------------------------------------------
+# The extrinsic bake is the accuracy-critical math here (reference
+# threedpw.py:119-141): root pose premultiplied by the camera R, then the
+# translation recomputed so the mesh lands in the camera frame. Both sides
+# run the SAME synthetic gendered SMPL models — the reference through a
+# torch smplx.create stub (independent torch LBS), ours through
+# load_smpl_pkl patched to return the jax models.
+
+
+def test_threedpw_loader_vs_reference(rng, tmp_path, monkeypatch):
+    from PIL import Image
+    from scipy.spatial.transform import Rotation
+
+    from multihmr_tpu.bodymodel import synthetic_body_model
+    from multihmr_tpu.bodymodel import assets as bm_assets
+    from multihmr_tpu.data.threedpw import THREEDPW as Our3DPW
+    from tests.test_bodymodel import torch_lbs
+
+    load_ref_model_module()
+    _patch_roma(monkeypatch)
+
+    models = {
+        g: synthetic_body_model(
+            num_vertices=48, num_joints=24, num_betas=10,
+            num_expression=0, num_extra=0, num_lmk=0, seed=s,
+        )
+        for g, s in (("male", 11), ("female", 12))
+    }
+
+    def _make_torch_smpl_stub(model):
+        class StubSMPL(torch.nn.Module):
+            def forward(self, global_orient, body_pose, betas):
+                B = betas.shape[0]
+                full = torch.cat(
+                    [global_orient.reshape(B, 1, 3), body_pose.reshape(B, 23, 3)],
+                    dim=1,
+                )
+                rotmats = _torch_rotvec_to_rotmat(full)
+                verts, joints = torch_lbs(model, rotmats, betas, torch.zeros(B, 0))
+                return types.SimpleNamespace(vertices=verts, joints=joints)
+
+        return StubSMPL()
+
+    stubs = {g: _make_torch_smpl_stub(m) for g, m in models.items()}
+    monkeypatch.setattr(
+        sys.modules["smplx"], "create",
+        lambda *a, gender="neutral", **k: stubs[gender], raising=False,
+    )
+    monkeypatch.setattr(
+        bm_assets, "load_smpl_pkl",
+        lambda path, num_betas=10: models["male" if "MALE" in os.path.basename(
+            path) and "FEMALE" not in os.path.basename(path) else "female"],
+    )
+
+    refmod = load_ref_datasets_threedpw()
+
+    # --- synthetic 3DPW tree: one sequence, 2 frames, 2 gendered persons ---
+    root = tmp_path / "3DPW"
+    seq_dir = root / "sequenceFiles" / "test"
+    seq_dir.mkdir(parents=True)
+    img_dir = root / "imageFiles" / "seq00"
+    img_dir.mkdir(parents=True)
+    seq_len, n_person = 2, 2
+    for k in range(seq_len):
+        arr = rng.uniform(0, 255, size=(30, 40, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(img_dir / f"image_{k:05d}.jpg")
+
+    cam_poses = np.tile(np.eye(4), (seq_len, 1, 1))
+    for k in range(seq_len):
+        cam_poses[k, :3, :3] = Rotation.from_rotvec(
+            rng.normal(scale=0.4, size=3)
+        ).as_matrix()
+        cam_poses[k, :3, 3] = rng.normal(size=3)
+    campose_valid = np.ones((n_person, seq_len))
+    campose_valid[1, 0] = 0  # exercise the invalid-frame skip
+    meta = {
+        "cam_intrinsics": np.array(
+            [[400.0, 0, 20], [0, 410.0, 15], [0, 0, 1]]
+        ),
+        "poses": [rng.normal(scale=0.3, size=(seq_len, 72)) for _ in range(n_person)],
+        "trans": [rng.normal(size=(seq_len, 3)) + [0, 0, 4] for _ in range(n_person)],
+        "betas": [rng.normal(size=12) for _ in range(n_person)],
+        "genders": ["m", "f"],
+        "cam_poses": cam_poses,
+        "campose_valid": campose_valid,
+        "poses2d": [rng.uniform(0, 1, size=(seq_len, 3, 18)) for _ in range(n_person)],
+    }
+    with open(seq_dir / "seq00.pkl", "wb") as f:
+        pickle.dump(meta, f)
+
+    monkeypatch.setattr(refmod, "ANNOT_DIR", str(tmp_path / "annots_ref"))
+    ref_ds = refmod.THREEDPW(
+        split="test", img_size=64, root_dir=str(root), force_build_dataset=1
+    )
+    ours = Our3DPW(
+        split="test", img_size=64, root_dir=str(root),
+        annotations_dir=str(tmp_path / "annots_ours"), smpl_dir="unused",
+        force_build_dataset=True,
+    )
+
+    assert sorted(ref_ds.annots.keys()) == sorted(ours.annots.keys())
+    for key in ref_ds.annots:
+        w, g = ref_ds.annots[key], ours.annots[key]
+        np.testing.assert_allclose(g["focal"], w["focal"], atol=0)
+        np.testing.assert_allclose(g["princpt"], w["princpt"], atol=0)
+        np.testing.assert_array_equal(g["size"], w["size"])
+        assert len(g["humans"]) == len(w["humans"])
+        for gh, wh in zip(g["humans"], w["humans"]):
+            assert gh["smpl_gender"] == wh["smpl_gender"]
+            np.testing.assert_allclose(
+                gh["smpl_root_pose"], wh["smpl_root_pose"], atol=1e-5
+            )
+            np.testing.assert_allclose(
+                gh["smpl_body_pose"], wh["smpl_body_pose"], atol=0
+            )
+            np.testing.assert_allclose(gh["smpl_shape"], wh["smpl_shape"], atol=0)
+            np.testing.assert_allclose(
+                gh["smpl_transl"], wh["smpl_transl"], atol=2e-5
+            )
+
+    for idx in range(len(ours.imagenames)):
+        want_img, want = ref_ds[idx]
+        got_img, got = ours[idx]
+        assert got["imagename"] == want["imagename"]
+        np.testing.assert_allclose(
+            np.transpose(got_img, (2, 0, 1)), want_img, atol=1e-6
+        )
+        np.testing.assert_allclose(got["K"], want["K"], rtol=1e-6)
+        for gh, wh in zip(got["humans"], want["humans"]):
+            np.testing.assert_array_equal(gh["smpl_gender_id"], wh["smpl_gender_id"])
+
+
+def load_ref_datasets_threedpw():
+    if "ref_ds_3dpw" in _loaded:
+        return _loaded["ref_ds_3dpw"]
+    load_ref_model_module()
+    mod = load_ref_file("datasets/threedpw.py")
+    _loaded["ref_ds_3dpw"] = mod
+    return mod
