@@ -1012,6 +1012,7 @@ def _make_torch_smplx_stub(model, num_betas):
             expression,
             leye_pose,
             reye_pose,
+            transl=None,
         ):
             bs = betas.shape[0]
             # smplx full-pose order: [root, body21, jaw, leye, reye,
@@ -1034,10 +1035,11 @@ def _make_torch_smplx_stub(model, num_betas):
             if len(lmk_faces) > 0:
                 tris = verts[:, faces[lmk_faces]]  # [bs, n_lmk, 3, 3]
                 joints.append(torch.einsum("blkc,lk->blc", tris, lmk_bary))
-            out = types.SimpleNamespace(
-                vertices=verts, joints=torch.cat(joints, dim=1)
-            )
-            return out
+            joints = torch.cat(joints, dim=1)
+            if transl is not None:  # prepare_gt passes GT transl (train.py:107)
+                verts = verts + transl[:, None]
+                joints = joints + transl[:, None]
+            return types.SimpleNamespace(vertices=verts, joints=joints)
 
     return StubSMPLX()
 
@@ -1894,3 +1896,191 @@ def load_ref_datasets_threedpw():
     mod = load_ref_file("datasets/threedpw.py")
     _loaded["ref_ds_3dpw"] = mod
     return mod
+
+
+# ---------------------------------------------------------------------------
+# train.py:58-182 — prepare_gt golden vs the reference Trainer
+# ---------------------------------------------------------------------------
+# The training-target construction glue: GT SMPL-X forward, primary-keypoint
+# projection → heatmap cell + offset, log-depth + focal normalization of the
+# distance target, rotvec/rotmat target assembly, and the same-patch
+# collision drop. Both sides run the SAME synthetic body model (the
+# reference through the torch smplx stub above, ours through lbs_forward).
+
+
+def load_ref_train_module():
+    if "ref_train" in _loaded:
+        return _loaded["ref_train"]
+    load_ref_model_module()  # stubs + utils + sys.modules['model']
+    # pre-seed the modules train.py imports: the dataset classes (unused by
+    # prepare_gt; a package import would be shadowed by the installed HF
+    # `datasets`) and the reference loss module
+    ds = _stub_module("datasets")
+    for name, attrs in (
+        ("bedlam", {"BEDLAM": None, "collate_fn": None}),
+        ("ehf", {"EHF": None}),
+        ("threedpw", {"THREEDPW": None}),
+    ):
+        sub = _stub_module(f"datasets.{name}", **attrs)
+        setattr(ds, name, sub)
+    if "loss" not in sys.modules:
+        sys.modules["loss"] = load_ref_file("loss.py")
+    mod = load_ref_file("train.py")
+    _loaded["ref_train"] = mod
+    return mod
+
+
+def test_prepare_gt_vs_reference(rng, monkeypatch):
+    from multihmr_tpu.bodymodel import synthetic_body_model
+    from multihmr_tpu.train.trainer import prepare_gt
+
+    refmod = load_ref_train_module()
+    _patch_roma(monkeypatch)
+    img_size, patch = 112, 14  # 8×8 heatmap
+    model = synthetic_body_model(num_joints=55, num_betas=11)
+
+    tr = object.__new__(refmod.Trainer)  # skip __init__ (datasets/writer)
+    tr.smplx_neutral_11 = _make_torch_smplx_stub(model, 11)
+    tr.device = "cpu"
+    tr.model = types.SimpleNamespace(
+        nearness=True, img_size=img_size, patch_size=patch
+    )
+    tr.args = types.SimpleNamespace(person_center="head")
+    # train.py:137 reads the module-global `args` (argparse main only)
+    monkeypatch.setattr(
+        refmod, "args", types.SimpleNamespace(img_size=img_size), raising=False
+    )
+
+    B, Kh = 3, 4
+    pose = rng.normal(scale=0.3, size=(B, Kh, 53, 3)).astype(np.float32)
+    shape = rng.normal(size=(B, Kh, 11)).astype(np.float32)
+    transl = rng.normal(scale=0.6, size=(B, Kh, 3)).astype(np.float32)
+    transl[..., 2] += 6.0
+    valid = np.ones((B, Kh), np.float32)
+    valid[1, 3] = 0.0
+    valid[2, 2:] = 0.0
+    # same-patch collision: slots (0,1) and (0,2) share pose/shape/transl →
+    # identical primary keypoint → the LATER slot must be dropped
+    pose[0, 2], shape[0, 2], transl[0, 2] = pose[0, 1], shape[0, 1], transl[0, 1]
+    # off-image person: projects outside the grid → clamped to a border cell
+    transl[2, 0, 0] += 30.0
+    K = np.zeros((B, 3, 3), np.float32)
+    K[:, 0, 0] = K[:, 1, 1] = 150.0 + rng.normal(scale=5, size=B)
+    K[:, 0, 2] = K[:, 1, 2] = img_size / 2.0
+    K[:, 2, 2] = 1.0
+
+    # reference batch layout = collate_fn of the BEDLAM per-person fields
+    t = lambda a: torch.from_numpy(np.ascontiguousarray(a))
+    y = {
+        "valid_humans": t(valid.copy()),  # mutated in place by the reference
+        "K": t(K),
+        "smplx_root_pose": t(pose[:, :, 0:1]),
+        "smplx_body_pose": t(pose[:, :, 1:22]),
+        "smplx_left_hand_pose": t(pose[:, :, 22:37]),
+        "smplx_right_hand_pose": t(pose[:, :, 37:52]),
+        "smplx_jaw_pose": t(pose[:, :, 52:53]),
+        "smplx_leye_pose": t(np.zeros((B, Kh, 1, 3), np.float32)),
+        "smplx_reye_pose": t(np.zeros((B, Kh, 1, 3), np.float32)),
+        "smplx_shape": t(shape),
+        "smplx_transl": t(transl),
+    }
+    with torch.no_grad():
+        want = tr.prepare_gt(y)
+
+    got = prepare_gt(
+        model,
+        jnp.asarray(pose), jnp.asarray(shape), jnp.asarray(transl),
+        jnp.asarray(valid), jnp.asarray(K),
+        img_size=img_size, patch_size=patch, person_center="head",
+        nearness=True, fovn=60,
+    )
+
+    vis = np.asarray(got["valid"]).astype(bool)
+    assert not vis[0, 2], "collision drop must invalidate the later slot"
+    assert vis.sum() == valid.sum() - 1
+    bb, _ = np.where(vis)
+    np.testing.assert_array_equal(bb, want["idx"][0].numpy())
+    np.testing.assert_array_equal(
+        np.asarray(got["det"].rows)[vis], want["idx"][1].numpy()
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got["det"].cols)[vis], want["idx"][2].numpy()
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["scores"]), want["scores"].numpy(), atol=0
+    )
+
+    fl = lambda key: np.asarray(got[key])[vis]
+    np.testing.assert_allclose(fl("loc"), want["loc"].numpy(), atol=2e-3)
+    np.testing.assert_allclose(fl("offset"), want["offset"].numpy(), atol=2e-4)
+    np.testing.assert_allclose(
+        fl("dist")[:, 0], want["dist"].numpy(), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        fl("dist_postprocessed"), want["dist_postprocessed"].numpy(), atol=1e-5
+    )
+    np.testing.assert_allclose(fl("rotvec"), want["rotvec"].numpy(), atol=0)
+    np.testing.assert_allclose(fl("rotmat"), want["rotmat"].numpy(), atol=1e-5)
+    np.testing.assert_allclose(fl("shape"), want["shape"].numpy(), atol=0)
+    for key, tol in (
+        ("transl", 1e-5), ("transl_pelvis", 1e-5),
+        ("v3d", 1e-5), ("j3d", 1e-5), ("j2d", 2e-3), ("v2d", 2e-3),
+    ):
+        np.testing.assert_allclose(
+            fl(key), want[key].numpy(), atol=tol, err_msg=key
+        )
+
+
+# ---------------------------------------------------------------------------
+# demo.py:27-68 — demo preprocessing helpers golden vs the reference
+# ---------------------------------------------------------------------------
+
+
+def load_ref_demo_module():
+    if "ref_demo" in _loaded:
+        return _loaded["ref_demo"]
+    load_ref_model_module()
+    _stub_module("ipdb")
+    _stub_module("anny")  # imported (not used) via multi_hmr_anny.multi_hmr
+    if "multi_hmr_anny.multi_hmr" not in sys.modules:
+        sys.path.insert(0, str(REF))
+        try:
+            importlib.import_module("multi_hmr_anny.multi_hmr")
+        finally:
+            sys.path.remove(str(REF))
+    mod = load_ref_file("demo.py")
+    _loaded["ref_demo"] = mod
+    return mod
+
+
+@pytest.mark.parametrize("wh", [(50, 30), (26, 40)])
+def test_demo_open_image_vs_reference(rng, tmp_path, wh):
+    from PIL import Image
+
+    from multihmr_tpu.io.preprocessing import open_image
+
+    refmod = load_ref_demo_module()
+    w, h = wh
+    path = str(tmp_path / "img.png")
+    Image.fromarray(rng.uniform(0, 255, size=(h, w, 3)).astype(np.uint8)).save(path)
+
+    want_x, want_full = refmod.open_image(path, 64, device=torch.device("cpu"))
+    got_x, got_full = open_image(path, 64, return_pil=True)
+    np.testing.assert_allclose(
+        np.transpose(got_x[0], (2, 0, 1)), want_x[0].numpy(), atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(got_full), np.asarray(want_full))
+
+
+def test_demo_camera_parameters_vs_reference():
+    from multihmr_tpu.io.preprocessing import get_camera_parameters
+
+    refmod = load_ref_demo_module()
+    for kwargs in (
+        dict(fov=60), dict(fov=55, p_x=0.6, p_y=0.4), dict(fov=75),
+    ):
+        want = refmod.get_camera_parameters(
+            129, device=torch.device("cpu"), **kwargs
+        )
+        got = get_camera_parameters(129, **kwargs)
+        np.testing.assert_allclose(got, want.numpy(), rtol=1e-6, atol=1e-6)
