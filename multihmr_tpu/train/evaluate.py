@@ -202,15 +202,15 @@ def evaluate_dataset(
             meters["pve"].update(float(pve_fn(pv, gv, p_pel, g_pel)[0]))
             meters["pa_pve"].update(float(pa_pve(pv, gv)[0]))
             if J_regressor_h36m is not None:
-                pj = np.einsum("js,bsc->bjc", J_regressor_h36m, pv)[:, H36M_TO_J14]
-                gj = np.einsum("js,bsc->bjc", J_regressor_h36m, gv)[:, H36M_TO_J14]
+                # center at h36m joint 0 (H36M pelvis) BEFORE the J14 subset
+                # (reference train.py:406-415 — the subset's first entry is
+                # NOT the pelvis, so select-then-center is a different metric)
+                pj = np.einsum("js,bsc->bjc", J_regressor_h36m, pv)
+                gj = np.einsum("js,bsc->bjc", J_regressor_h36m, gv)
+                pj = (pj - pj[:, :1])[:, H36M_TO_J14]
+                gj = (gj - gj[:, :1])[:, H36M_TO_J14]
                 meters["mpjpe"].update(
-                    float(
-                        1000
-                        * np.linalg.norm(
-                            (pj - pj[:, :1]) - (gj - gj[:, :1]), axis=-1
-                        ).mean()
-                    )
+                    float(1000 * np.linalg.norm(pj - gj, axis=-1).mean())
                 )
                 meters["pa_mpjpe"].update(float(pa_pve(pj, gj)[0]))
         if log_every and (i + 1) % log_every == 0:

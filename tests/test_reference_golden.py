@@ -2084,3 +2084,388 @@ def test_demo_camera_parameters_vs_reference():
         )
         got = get_camera_parameters(129, **kwargs)
         np.testing.assert_allclose(got, want.numpy(), rtol=1e-6, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# train.py:336-482 — evaluate golden vs the reference Trainer.evaluate
+# ---------------------------------------------------------------------------
+# Certifies the metric glue: pred-to-GT greedy matching integration (j2d
+# truncation :361), pelvis-centered PVE, Procrustes PA-PVE, the
+# smplx→smpl regressor branch, the H36M MPJPE chain, and PRF1 counting.
+# Both evaluates run a FAKE model whose per-image predictions are encoded
+# into the image pixels (one canonical NHWC buffer decoded identically by
+# the torch fake and our jitted fake), so any metric difference is a glue
+# difference. roma.rigid_points_registration is stubbed with a test-local
+# Umeyama (scaled Kabsch) — independent of ops/rotations.py.
+
+
+def _torch_rigid_points_registration(x, y, compute_scaling=True):
+    """roma.rigid_points_registration stand-in: minimize ||s·R·x + t − y||."""
+    assert compute_scaling
+    xm, ym = x.mean(0), y.mean(0)
+    xc, yc = (x - xm).double(), (y - ym).double()
+    C = yc.T @ xc / x.shape[0]
+    U, S, Vh = torch.linalg.svd(C)
+    d = torch.sign(torch.det(U @ Vh))
+    D = torch.diag(torch.tensor([1.0, 1.0, float(d)], dtype=torch.float64))
+    R = U @ D @ Vh
+    var_x = (xc ** 2).sum() / x.shape[0]
+    s = (S * torch.diag(D)).sum() / var_x
+    t = ym.double() - s * (R @ xm.double())
+    return R.float(), t.float(), s.float()
+
+
+class _FakePersonCodec:
+    """Per-image predictions ⇄ flat pixel buffer: [n, then per slot:
+    v3d (V·3), j2d (J·2), transl_pelvis (3)] at fixed capacity."""
+
+    def __init__(self, capacity, n_verts, n_joints):
+        self.C, self.V, self.J = capacity, n_verts, n_joints
+        self.slot = n_verts * 3 + n_joints * 2 + 3
+
+    def encode(self, persons, img_size):
+        flat = np.zeros(img_size * img_size * 3, np.float32)
+        flat[0] = len(persons)
+        for k, p in enumerate(persons):
+            off = 1 + k * self.slot
+            flat[off : off + self.V * 3] = p["v3d"].reshape(-1)
+            off += self.V * 3
+            flat[off : off + self.J * 2] = p["j2d"].reshape(-1)
+            off += self.J * 2
+            flat[off : off + 3] = p["transl_pelvis"].reshape(-1)
+        return flat.reshape(img_size, img_size, 3)
+
+    def decode_flat(self, flat):
+        n = int(round(float(flat[0])))
+        persons = []
+        for k in range(n):
+            off = 1 + k * self.slot
+            v3d = flat[off : off + self.V * 3].reshape(self.V, 3)
+            off += self.V * 3
+            j2d = flat[off : off + self.J * 2].reshape(self.J, 2)
+            off += self.J * 2
+            tp = flat[off : off + 3].reshape(1, 3)
+            persons.append({"v3d": v3d, "j2d": j2d, "transl_pelvis": tp})
+        return persons
+
+
+def _make_fake_models(codec):
+    class FakeTorchModel:
+        def eval(self):
+            return self
+
+        def __call__(self, x, is_training=False, K=None, det_thresh=0.3,
+                     nms_kernel_size=3):
+            flat = x[0].permute(1, 2, 0).reshape(-1)  # back to canonical NHWC
+            return codec.decode_flat(flat)
+
+    class FakeOurModel:
+        def forward(self, params, x, K, det_thresh=0.3, nms_kernel_size=3):
+            flat = x[0].reshape(-1)
+            out = {"n": flat[0]}
+            for k in range(codec.C):
+                off = 1 + k * codec.slot
+                out[f"v3d{k}"] = flat[off : off + codec.V * 3].reshape(codec.V, 3)
+                off += codec.V * 3
+                out[f"j2d{k}"] = flat[off : off + codec.J * 2].reshape(codec.J, 2)
+                off += codec.J * 2
+                out[f"tp{k}"] = flat[off : off + 3].reshape(1, 3)
+            return out
+
+        def extract_persons(self, out, fields=None):
+            n = int(round(float(np.asarray(out["n"]))))
+            return [
+                [
+                    {
+                        "v3d": np.asarray(out[f"v3d{k}"]),
+                        "j2d": np.asarray(out[f"j2d{k}"]),
+                        "transl_pelvis": np.asarray(out[f"tp{k}"]),
+                    }
+                    for k in range(n)
+                ]
+            ]
+
+    return FakeTorchModel(), FakeOurModel()
+
+
+class _FakeLoader(list):
+    def __init__(self, items, name, split="test", subsample=1):
+        super().__init__(items)
+        self.dataset = types.SimpleNamespace(
+            name=name, split=split, subsample=subsample
+        )
+
+
+class _RecordingWriter:
+    """Captures the reference evaluate's final meter flushes (train.py:478)."""
+
+    def __init__(self):
+        self.scalars = {}
+
+    def add_scalar(self, tag, value, step):
+        self.scalars[tag.split("/")[-1]] = value
+
+    def flush(self):
+        pass
+
+
+def _eval_trainer(refmod, smplx_stub, img_size, name):
+    tr = object.__new__(refmod.Trainer)
+    tr.smplx_neutral_11 = smplx_stub
+    tr.device = "cpu"
+    tr.model = types.SimpleNamespace(
+        nearness=True, img_size=img_size, patch_size=14, eval=lambda: None
+    )
+    tr.args = types.SimpleNamespace(
+        person_center="head", det_thresh=0.3, nms_kernel_size=3,
+        log_freq=10**9, visu_to_save=0,
+    )
+    tr.writer = _RecordingWriter()
+    tr.current_epoch = 0
+    tr.current_iter = 0
+    return tr
+
+
+def test_evaluate_vs_reference_bedlam(rng, monkeypatch):
+    """BEDLAM-style eval: SMPL-X param GT, noisy matched predictions, one
+    false positive, one miss — pve/pa_pve/precision/recall/f1 must match."""
+    from multihmr_tpu.bodymodel import synthetic_body_model
+    from multihmr_tpu.train.evaluate import evaluate_dataset
+
+    refmod = load_ref_train_module()
+    _patch_roma(monkeypatch)
+    roma = sys.modules["roma"]
+    monkeypatch.setattr(
+        roma, "rigid_points_registration", _torch_rigid_points_registration,
+        raising=False,
+    )
+
+    img_size = 112
+    model = synthetic_body_model(num_joints=55, num_betas=11)
+    stub = _make_torch_smplx_stub(model, 11)
+    tr = _eval_trainer(refmod, stub, img_size, "bedlam")
+    monkeypatch.setattr(
+        refmod, "args", types.SimpleNamespace(img_size=img_size, amp=0),
+        raising=False,
+    )
+    n_j = int(model.num_output_joints)
+    V = int(np.asarray(model.v_template).shape[0])
+    codec = _FakePersonCodec(capacity=3, n_verts=V, n_joints=n_j)
+    fake_torch_model, fake_our_model = _make_fake_models(codec)
+    # prepare_gt reads nearness/img_size/patch_size off self.model; evaluate
+    # additionally calls it — hang the attrs on the fake
+    tr.model = fake_torch_model
+    tr.model.nearness, tr.model.img_size, tr.model.patch_size = True, img_size, 14
+
+    K = np.array(
+        [[150.0, 0, img_size / 2], [0, 150.0, img_size / 2], [0, 0, 1]], np.float32
+    )
+    # per-image GT person counts: 2 (both matched), 1 (plus an FP), 2 (1 miss)
+    counts = [2, 1, 2]
+    items_ref, items_ours = [], []
+    for i, n_gt in enumerate(counts):
+        pose = rng.normal(scale=0.2, size=(1, n_gt, 53, 3)).astype(np.float32)
+        shape = rng.normal(size=(1, n_gt, 11)).astype(np.float32)
+        transl = rng.normal(scale=0.4, size=(1, n_gt, 3)).astype(np.float32)
+        transl[..., 0] += np.arange(n_gt) * 2.0 - 1.0  # distinct patches
+        transl[..., 2] += 6.0
+        t = lambda a: torch.from_numpy(np.ascontiguousarray(a))
+        y = {
+            "valid_humans": t(np.ones((1, n_gt), np.float32)),
+            "K": t(K[None]),
+            "smplx_root_pose": t(pose[:, :, 0:1]),
+            "smplx_body_pose": t(pose[:, :, 1:22]),
+            "smplx_left_hand_pose": t(pose[:, :, 22:37]),
+            "smplx_right_hand_pose": t(pose[:, :, 37:52]),
+            "smplx_jaw_pose": t(pose[:, :, 52:53]),
+            "smplx_leye_pose": t(np.zeros((1, n_gt, 1, 3), np.float32)),
+            "smplx_reye_pose": t(np.zeros((1, n_gt, 1, 3), np.float32)),
+            "smplx_shape": t(shape),
+            "smplx_transl": t(transl),
+        }
+        with torch.no_grad():
+            gt = tr.prepare_gt({k: v.clone() for k, v in y.items()})
+        gt_np = {k: gt[k].numpy() for k in ("v3d", "j3d", "j2d")}
+
+        # predictions: GT + noise; image 1 adds a far FP; image 2 drops one
+        preds = []
+        n_pred = {0: 2, 1: 2, 2: 1}[i]
+        for p in range(min(n_pred, n_gt)):
+            preds.append(
+                {
+                    "v3d": gt_np["v3d"][p] + rng.normal(scale=0.01, size=(V, 3)),
+                    "j2d": gt_np["j2d"][p] + rng.normal(scale=0.5, size=(n_j, 2)),
+                    "transl_pelvis": gt_np["j3d"][p][:1]
+                    + rng.normal(scale=0.005, size=(1, 3)),
+                }
+            )
+        if n_pred > n_gt:  # false positive far away in 2D
+            preds.append(
+                {
+                    "v3d": gt_np["v3d"][0] + 5.0,
+                    "j2d": gt_np["j2d"][0] + 3000.0,
+                    "transl_pelvis": gt_np["j3d"][0][:1] + 5.0,
+                }
+            )
+        preds = [
+            {k: v.astype(np.float32) for k, v in p.items()} for p in preds
+        ]
+        x_nhwc = codec.encode(preds, img_size)
+        items_ref.append(
+            (torch.from_numpy(np.transpose(x_nhwc, (2, 0, 1))[None]), y)
+        )
+        items_ours.append(
+            (x_nhwc, {"K": K, "gt": gt_np})
+        )
+
+    with torch.no_grad():
+        ref_pve = tr.evaluate(_FakeLoader(items_ref, "bedlam"))
+
+    got = evaluate_dataset(
+        fake_our_model, None, items_ours, det_thresh=0.3,
+        gt_forward=lambda annot: annot["gt"], log_every=0,
+    )
+    assert got["n_images"] == 3
+    np.testing.assert_allclose(got["pve"], ref_pve, rtol=1e-5)
+    # the remaining meters are captured off the reference's writer flush
+    rec = tr.writer.scalars
+    np.testing.assert_allclose(got["pa_pve"], rec["pa_pve"], rtol=1e-4)
+    np.testing.assert_allclose(got["precision"], rec["precision"], atol=1e-6)
+    np.testing.assert_allclose(got["recall"], rec["recall"], atol=1e-6)
+    np.testing.assert_allclose(got["f1_score"], rec["f1_score"], atol=1e-6)
+    # fixture design sanity: 5 GT, 1 miss, 1 FP
+    np.testing.assert_allclose(got["precision"], 100 * 4 / 5, atol=1e-6)
+    assert got["pve"] > 0 and 0 < got["pa_pve"] < got["pve"]
+
+
+def _make_torch_smpl_gt_stub(model):
+    """Gendered-SMPL stub for prepare_gt's 3DPW branch (train.py:76-94):
+    call contract (global_orient, body_pose [*,69], betas, transl)."""
+    from tests.test_bodymodel import torch_lbs
+
+    class StubSMPL(torch.nn.Module):
+        def forward(self, global_orient, body_pose, betas, transl):
+            B = betas.shape[0]
+            full = torch.cat(
+                [global_orient.reshape(B, 1, 3), body_pose.reshape(B, 23, 3)],
+                dim=1,
+            )
+            rotmats = _torch_rotvec_to_rotmat(full)
+            verts, joints = torch_lbs(model, rotmats, betas, torch.zeros(B, 0))
+            return types.SimpleNamespace(
+                vertices=verts + transl[:, None], joints=joints + transl[:, None]
+            )
+
+    return StubSMPL()
+
+
+def test_evaluate_vs_reference_3dpw(rng, monkeypatch, tmp_path):
+    """3DPW eval: gendered SMPL GT (the prepare_gt male/female mixing branch),
+    smplx→smpl regressor on pred meshes, H36M MPJPE/PA-MPJPE chain."""
+    from multihmr_tpu.bodymodel import synthetic_body_model
+    from multihmr_tpu.train.evaluate import evaluate_dataset
+
+    refmod = load_ref_train_module()
+    _patch_roma(monkeypatch)
+    monkeypatch.setattr(
+        sys.modules["roma"], "rigid_points_registration",
+        _torch_rigid_points_registration, raising=False,
+    )
+
+    img_size = 112
+    V_smpl, V_pred = 6890, 30  # the reference gates the regressor on ==6890
+    smpl_models = {
+        g: synthetic_body_model(
+            num_vertices=V_smpl, num_joints=24, num_betas=10,
+            num_expression=0, num_extra=0, num_lmk=0, seed=s,
+        )
+        for g, s in (("male", 21), ("female", 22))
+    }
+    n_j = 24
+    codec = _FakePersonCodec(capacity=3, n_verts=V_pred, n_joints=n_j)
+    fake_torch_model, fake_our_model = _make_fake_models(codec)
+
+    tr = object.__new__(refmod.Trainer)
+    tr.device = "cpu"
+    tr.smpl_male_10 = _make_torch_smpl_gt_stub(smpl_models["male"])
+    tr.smpl_female_10 = _make_torch_smpl_gt_stub(smpl_models["female"])
+    reg = rng.uniform(0.0, 1.0, size=(V_smpl, V_pred)).astype(np.float32)
+    reg /= reg.sum(1, keepdims=True)  # rows sum to 1 like the real regressor
+    tr.smplx2smpl_regressor = torch.from_numpy(reg)
+    tr.model = fake_torch_model
+    tr.model.nearness, tr.model.img_size, tr.model.patch_size = True, img_size, 14
+    tr.args = types.SimpleNamespace(
+        person_center="head", det_thresh=0.3, nms_kernel_size=3,
+        log_freq=10**9, visu_to_save=0,
+    )
+    tr.writer = _RecordingWriter()
+    tr.current_epoch = tr.current_iter = 0
+    monkeypatch.setattr(
+        refmod, "args", types.SimpleNamespace(img_size=img_size, amp=0),
+        raising=False,
+    )
+    # the reference lazily np.loads the H36M regressor from a relative path
+    Jh = rng.uniform(0.0, 1.0, size=(17, V_smpl)).astype(np.float32)
+    Jh /= Jh.sum(1, keepdims=True)
+    (tmp_path / "models" / "smpl").mkdir(parents=True)
+    np.save(tmp_path / "models" / "smpl" / "J_regressor_h36m.npy", Jh)
+    monkeypatch.chdir(tmp_path)
+
+    K = np.array(
+        [[150.0, 0, img_size / 2], [0, 150.0, img_size / 2], [0, 0, 1]], np.float32
+    )
+    items_ref, items_ours = [], []
+    genders = [[1, 2], [2]]  # image 0: male+female, image 1: female only
+    for i, gid in enumerate(genders):
+        n_gt = len(gid)
+        pose = rng.normal(scale=0.2, size=(1, n_gt, 24, 3)).astype(np.float32)
+        shape = rng.normal(size=(1, n_gt, 10)).astype(np.float32)
+        transl = rng.normal(scale=0.4, size=(1, n_gt, 3)).astype(np.float32)
+        transl[..., 0] += np.arange(n_gt) * 2.0 - 1.0
+        transl[..., 2] += 6.0
+        t = lambda a: torch.from_numpy(np.ascontiguousarray(a))
+        y = {
+            "valid_humans": t(np.ones((1, n_gt), np.float32)),
+            "K": t(K[None]),
+            "smpl_root_pose": t(pose[:, :, 0:1]),
+            "smpl_body_pose": t(pose[:, :, 1:24].reshape(1, n_gt, 23, 3)),
+            "smpl_shape": t(shape),
+            "smpl_transl": t(transl),
+            "smpl_gender_id": t(np.array([gid], np.int64)),
+        }
+        with torch.no_grad():
+            gt = tr.prepare_gt({k: v.clone() for k, v in y.items()})
+        gt_np = {k: gt[k].numpy() for k in ("v3d", "j3d", "j2d")}
+
+        preds = []
+        for p in range(n_gt):
+            preds.append(
+                {
+                    "v3d": (rng.normal(scale=0.3, size=(V_pred, 3))
+                            + gt_np["j3d"][p][:1]).astype(np.float32),
+                    "j2d": (gt_np["j2d"][p][:n_j]
+                            + rng.normal(scale=0.5, size=(n_j, 2))).astype(np.float32),
+                    "transl_pelvis": gt_np["j3d"][p][:1].astype(np.float32),
+                }
+            )
+        x_nhwc = codec.encode(preds, img_size)
+        items_ref.append(
+            (torch.from_numpy(np.transpose(x_nhwc, (2, 0, 1))[None]), y)
+        )
+        items_ours.append((x_nhwc, {"K": K, "gt": gt_np}))
+
+    with torch.no_grad():
+        ref_pve = tr.evaluate(_FakeLoader(items_ref, "3dpw"))
+
+    got = evaluate_dataset(
+        fake_our_model, None, items_ours, det_thresh=0.3,
+        smplx2smpl=reg, J_regressor_h36m=Jh,
+        gt_forward=lambda annot: annot["gt"], log_every=0,
+    )
+    rec = tr.writer.scalars
+    np.testing.assert_allclose(got["pve"], ref_pve, rtol=1e-4)
+    np.testing.assert_allclose(got["pa_pve"], rec["pa_pve"], rtol=1e-4)
+    np.testing.assert_allclose(got["mpjpe"], rec["mpjpe"], rtol=1e-4)
+    np.testing.assert_allclose(got["pa_mpjpe"], rec["pa_mpjpe"], rtol=1e-4)
+    np.testing.assert_allclose(got["recall"], rec["recall"], atol=1e-6)
+    assert rec["recall"] == 100.0  # all matched in this fixture
