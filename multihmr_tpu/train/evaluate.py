@@ -193,13 +193,18 @@ def evaluate_dataset(
         miss += len(misses)
 
         for pi, gi in best:
-            pv = np.asarray(persons[pi]["v3d"])[None]
-            gv = gt["v3d"][gi][None]
-            if smplx2smpl is not None:  # 3DPW: map SMPL-X verts → SMPL topology
-                pv = np.einsum("sv,bvc->bsc", smplx2smpl, pv)
             p_pel = np.asarray(persons[pi]["transl_pelvis"]).reshape(1, 1, 3)
             g_pel = gt["j3d"][gi][:1][None]
-            meters["pve"].update(float(pve_fn(pv, gv, p_pel, g_pel)[0]))
+            # center at the pelvis BEFORE the regressor sums (reference
+            # train.py:373-385): for row-stochastic regressors the order is
+            # mathematically irrelevant, but regressing O(camera-distance)
+            # coordinates loses ~3 fp32 digits to cancellation vs regressing
+            # the O(0.3 m) centered mesh
+            pv = np.asarray(persons[pi]["v3d"])[None] - p_pel
+            gv = gt["v3d"][gi][None] - g_pel
+            if smplx2smpl is not None:  # 3DPW: map SMPL-X verts → SMPL topology
+                pv = np.einsum("sv,bvc->bsc", smplx2smpl, pv)
+            meters["pve"].update(float(pve_fn(pv, gv, 0.0, 0.0)[0]))
             meters["pa_pve"].update(float(pa_pve(pv, gv)[0]))
             if J_regressor_h36m is not None:
                 # center at h36m joint 0 (H36M pelvis) BEFORE the J14 subset
