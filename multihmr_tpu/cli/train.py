@@ -80,6 +80,14 @@ def build_argparser():
     p.add_argument("--ckptdir", type=str, default="ckpts")
     p.add_argument("--nb_max_ckpt", type=int, default=3)
     p.add_argument("--pretrained", type=str, default=None)
+    p.add_argument(
+        "--resume", type=int, default=0,
+        help="resume from the latest full train state in ckptdir/name "
+        "(params + optimizer moments + epoch, saved every epoch via orbax); "
+        "starts fresh when none exists — a preempted job restarts with the "
+        "SAME command line. The reference always restarts at epoch 0 "
+        "(train.py:184-238).",
+    )
     p.add_argument("--eval_only", type=int, default=0)
     # loss weights (reference loss.py:117-141)
     from multihmr_tpu.train.loss import LossWeights
@@ -248,7 +256,17 @@ def main():
         mesh=mesh,
         fsdp=bool(args.fsdp),
     )
-    trainer.fit(params, data_iter, epochs=args.n_epoch, eval_fn=run_eval)
+    start_epoch, opt_state = 0, None
+    if args.resume:
+        restored = trainer.restore(params)
+        if restored is None:
+            print("--resume: no saved train state found — starting fresh")
+        else:
+            params, opt_state, start_epoch = restored
+            print(f"--resume: restored epoch {start_epoch - 1}, "
+                  f"continuing at epoch {start_epoch}")
+    trainer.fit(params, data_iter, epochs=args.n_epoch, eval_fn=run_eval,
+                start_epoch=start_epoch, opt_state=opt_state)
 
 
 if __name__ == "__main__":

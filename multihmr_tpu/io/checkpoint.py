@@ -503,6 +503,9 @@ class OrbaxCheckpointer:
         out = self.manager.restore(step, args=self._ocp.args.Composite(**kwargs))
         return out
 
+    def latest_step(self):
+        return self.manager.latest_step()
+
 
 def prune_checkpoints(ckpt_dir: str, keep: int):
     """Retain the last ``keep`` checkpoints (reference train.py:209-223)."""

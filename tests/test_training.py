@@ -428,3 +428,91 @@ def test_trainer_fit_with_mesh(rng):
     assert n_sharded(out_params) > 0, "no param ended up sharded"
     assert n_sharded(opt_state[0].mu) > 0, "FSDP: no Adam moment sharded"
     assert lines and "epoch 0" in lines[0]
+
+
+def test_resume_is_bitwise_identical(tmp_path):
+    """Preemption-safe resume (VERDICT r4 #4): train(4 epochs) in one run vs
+    train(2) → kill → restore → train(2 more) must produce BITWISE-identical
+    params and identical per-epoch loss curves. The full train state
+    (params + Adam moments + epoch) round-trips through the orbax manager;
+    the CLI surface is ``--resume 1`` with the same command line."""
+    import re
+
+    from multihmr_tpu.train.trainer import Trainer
+
+    model = make_model()
+    # fresh (deterministic) init per run — the donated train step consumes
+    # whatever param buffers it is handed
+    init_params = lambda: model.init_params(jax.random.PRNGKey(0))
+    B, Kh = 1, 4
+
+    def data_iter():
+        # fresh fixed-seed generator per call → identical batches every epoch
+        r = np.random.default_rng(7)
+        for _ in range(2):
+            yield {
+                "image": jnp.asarray(r.normal(size=(B, 56, 56, 3)).astype(np.float32)),
+                "K": jnp.asarray(
+                    np.array([[[100.0, 0, 28], [0, 100, 28], [0, 0, 1]]], np.float32)
+                ),
+                "gt_pose": jnp.asarray(
+                    r.normal(scale=0.2, size=(B, Kh, 53, 3)).astype(np.float32)
+                ),
+                "gt_shape": jnp.asarray(r.normal(size=(B, Kh, 10)).astype(np.float32)),
+                "gt_transl": jnp.asarray(
+                    (r.normal(scale=0.3, size=(B, Kh, 3)) + [0, 0, 4]).astype(np.float32)
+                ),
+                "gt_valid": jnp.asarray([[1, 1, 0, 0]], jnp.float32),
+            }
+
+    def losses(lines):
+        out = {}
+        for ln in lines:
+            m = re.match(r"epoch (\d+): mean loss ([0-9.eE+-]+)", ln)
+            if m:
+                out[int(m.group(1))] = m.group(2)  # exact printed repr
+        return out
+
+    # --- run A: 4 epochs straight through ---
+    lines_a = []
+    trainer_a = Trainer(
+        model, optax.adam(1e-3), checkpoint_dir=str(tmp_path / "a"),
+        nb_max_ckpt=5, log_fn=lines_a.append,
+    )
+    params_a, _ = trainer_a.fit(init_params(), data_iter, epochs=4)
+
+    # --- run B: 2 epochs, then simulate preemption (new Trainer ~ new proc) ---
+    lines_b = []
+    trainer_b1 = Trainer(
+        model, optax.adam(1e-3), checkpoint_dir=str(tmp_path / "b"),
+        nb_max_ckpt=5, log_fn=lines_b.append,
+    )
+    trainer_b1.fit(init_params(), data_iter, epochs=2)
+
+    trainer_b2 = Trainer(
+        model, optax.adam(1e-3), checkpoint_dir=str(tmp_path / "b"),
+        nb_max_ckpt=5, log_fn=lines_b.append,
+    )
+    restored = trainer_b2.restore(model.init_params(jax.random.PRNGKey(1)))
+    assert restored is not None
+    r_params, r_opt, start_epoch = restored
+    assert start_epoch == 2
+    params_b, _ = trainer_b2.fit(
+        r_params, data_iter, epochs=4, start_epoch=start_epoch, opt_state=r_opt
+    )
+
+    # params bitwise identical
+    a = jax.device_get(params_a)
+    b = jax.device_get(params_b)
+    for la, lb in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    # identical printed loss curve, including the post-resume epochs
+    la, lb = losses(lines_a), losses(lines_b)
+    assert set(la) == set(lb) == {0, 1, 2, 3}
+    assert la == lb
+
+    # restore() on a dir with no state → None (fresh start path)
+    trainer_c = Trainer(
+        model, optax.adam(1e-3), checkpoint_dir=str(tmp_path / "c"),
+    )
+    assert trainer_c.restore(init_params()) is None
