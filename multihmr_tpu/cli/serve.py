@@ -32,6 +32,14 @@ def main():
     p.add_argument("--max_delay_ms", type=float, default=5.0)
     p.add_argument("--det_thresh", type=float, default=0.3)
     p.add_argument("--nms_kernel_size", type=int, default=3)
+    p.add_argument("--max_queue", type=int, default=64,
+                   help="bounded request queue: beyond this depth new "
+                        "requests are shed with HTTP 429 + Retry-After "
+                        "instead of queueing without bound (0 = unbounded)")
+    p.add_argument("--deadline_s", type=float, default=30.0,
+                   help="per-request dispatch deadline: a request still "
+                        "queued after this many seconds fails with 503 "
+                        "instead of wasting a device batch (0 = none)")
     p.add_argument("--json_only", action="store_true",
                    help="skip mesh-tensor readback (disables ?render=1); "
                         "cuts per-request device->host tail latency")
@@ -112,6 +120,7 @@ def main():
         det_thresh=args.det_thresh, nms_kernel_size=args.nms_kernel_size,
         max_delay_ms=args.max_delay_ms, forward_fn=forward_fn,
         json_only=args.json_only, mesh=mesh,
+        max_queue=args.max_queue, deadline_s=args.deadline_s,
     )
     print(
         f"serving {args.model_name} on http://0.0.0.0:{args.port} "

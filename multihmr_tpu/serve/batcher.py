@@ -33,6 +33,26 @@ from typing import Any, Callable, List, Optional
 import numpy as np
 
 
+class QueueFull(RuntimeError):
+    """Raised by :meth:`DynamicBatcher.submit` when the bounded queue is at
+    capacity — the load-shed signal (HTTP 429 upstream). ``retry_after_s``
+    estimates when the current backlog will have drained."""
+
+    def __init__(self, depth: int, retry_after_s: float):
+        super().__init__(
+            f"request queue full ({depth} pending) — shedding load; "
+            f"retry in ~{retry_after_s:.1f}s"
+        )
+        self.retry_after_s = retry_after_s
+
+
+class DeadlineExceeded(RuntimeError):
+    """Raised when a request aged past the batcher deadline before it could
+    be dispatched (HTTP 503 upstream): under overload it is strictly better
+    to fail a stale request fast than to burn a device slot computing a
+    result its client has stopped waiting for."""
+
+
 @dataclass
 class _Request:
     x: np.ndarray  # [S, S, 3] normalized
@@ -60,6 +80,12 @@ class BatcherStats:
         self.latencies_ms: List[float] = []
         self.dispatch_ms: List[float] = []
         self.extract_ms: List[float] = []
+        self.shed_queue_full = 0
+        self.shed_deadline = 0
+
+    def count_shed(self, kind: str):
+        with self._lock:
+            setattr(self, "shed_" + kind, getattr(self, "shed_" + kind) + 1)
 
     def record(self, batch_size: int, latencies_ms: List[float]):
         with self._lock:
@@ -102,6 +128,10 @@ class BatcherStats:
                 "latency_ms": self._pcts(self.latencies_ms),
                 "dispatch_ms": self._pcts(self.dispatch_ms),
                 "extract_ms": self._pcts(self.extract_ms),
+                "shed": {
+                    "queue_full": self.shed_queue_full,
+                    "deadline": self.shed_deadline,
+                },
             }
 
 
@@ -122,6 +152,18 @@ class DynamicBatcher:
         would silently corrupt whichever requests lose the race (unsafe
         fp32→u8 cast, or raw u8 pixels running through the fp32 trace that
         skips on-device normalization) — fail fast instead.
+      max_queue: bounded-queue overload policy (0 = unbounded). When the
+        pending queue is at capacity, ``submit`` sheds the request with
+        :class:`QueueFull` (→ HTTP 429 + Retry-After upstream) instead of
+        letting queueing delay grow without bound: the chip's throughput is
+        a hard wire/compute ceiling, so beyond-capacity offered load MUST
+        fail fast — every queued request past the ceiling only adds latency
+        for everyone behind it.
+      deadline_s: per-request dispatch deadline (0 = none). A request that
+        ages past this while still queued is failed with
+        :class:`DeadlineExceeded` at dequeue time — never dispatched — so a
+        burst's stale tail doesn't waste device batches on clients that have
+        already timed out.
     """
 
     def __init__(
@@ -131,12 +173,18 @@ class DynamicBatcher:
         max_batch: int = 8,
         max_delay_ms: float = 5.0,
         wire_dtype=None,
+        max_queue: int = 0,
+        deadline_s: float = 0.0,
     ):
         self.batch_fn = batch_fn
         self.extract_fn = extract_fn
         self.max_batch = int(max_batch)
         self.max_delay_ms = float(max_delay_ms)
         self.wire_dtype = None if wire_dtype is None else np.dtype(wire_dtype)
+        self.max_queue = int(max_queue)
+        self.deadline_s = float(deadline_s)
+        # EMA of one batch's dispatch→resolve wall — the Retry-After estimate
+        self._cycle_ema: Optional[float] = None
         self.stats = BatcherStats()
         self._q: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
@@ -178,6 +226,12 @@ class DynamicBatcher:
         with self._close_lock:
             if self._stop.is_set():
                 raise RuntimeError("batcher closed")  # fail fast on shutdown
+            depth = self._q.qsize()
+            if self.max_queue and depth >= self.max_queue:
+                self.stats.count_shed("queue_full")
+                cycle = self._cycle_ema if self._cycle_ema else 1.0
+                batches_ahead = (depth + self.max_batch - 1) // self.max_batch
+                raise QueueFull(depth, retry_after_s=batches_ahead * cycle)
             self._q.put(req)
         if not req.done.wait(timeout):
             raise TimeoutError("inference request timed out")
@@ -220,6 +274,27 @@ class DynamicBatcher:
                 break
         return reqs
 
+    def _expire(self, reqs: List[_Request]) -> List[_Request]:
+        """Fail queued requests that aged past the deadline (never dispatch
+        them); returns the still-live subset."""
+        if not self.deadline_s:
+            return reqs
+        now = time.perf_counter()
+        live = []
+        for r in reqs:
+            waited = now - r.t_enqueue
+            if waited > self.deadline_s:
+                self.stats.count_shed("deadline")
+                r.error = DeadlineExceeded(
+                    f"request waited {waited*1e3:.0f} ms in queue "
+                    f"(deadline {self.deadline_s*1e3:.0f} ms) — shed before "
+                    f"dispatch"
+                )
+                r.done.set()
+            else:
+                live.append(r)
+        return live
+
     def _dispatch(self, reqs: List[_Request]):
         """Pad to capacity and launch the device program (async)."""
         B = self.max_batch
@@ -233,7 +308,7 @@ class DynamicBatcher:
         self.stats.record_phase("dispatch", (time.perf_counter() - t0) * 1e3)
         return out
 
-    def _resolve(self, reqs: List[_Request], device_out):
+    def _resolve(self, reqs: List[_Request], device_out, t_dispatch=None):
         """Host-side extraction + future completion for a dispatched batch."""
         try:
             t0 = time.perf_counter()
@@ -246,21 +321,30 @@ class DynamicBatcher:
                 lats.append((now - r.t_enqueue) * 1e3)
                 r.done.set()
             self.stats.record(len(reqs), lats)
+            if t_dispatch is not None:  # batch cycle wall → Retry-After EMA
+                cycle = now - t_dispatch
+                self._cycle_ema = (
+                    cycle if self._cycle_ema is None
+                    else 0.8 * self._cycle_ema + 0.2 * cycle
+                )
         except BaseException as e:  # propagate to the waiting frontends
             for r in reqs:
                 r.error = e
                 r.done.set()
 
     def _run(self):
-        pending: Optional[tuple] = None  # (reqs, device_out) in flight
+        pending: Optional[tuple] = None  # (reqs, device_out, t_dispatch)
         while not self._stop.is_set():
             # With a batch in flight, only PEEK for follow-up work (1 ms):
             # blocking the full 100 ms here would delay resolving the
             # finished batch by that much on every idle gap — pipelining is
             # for sustained load, where the queue is non-empty anyway.
-            reqs = self._collect(0.001 if pending is not None else 0.1)
+            reqs = self._expire(
+                self._collect(0.001 if pending is not None else 0.1)
+            )
             if reqs:
                 try:
+                    t_dispatch = time.perf_counter()
                     out = self._dispatch(reqs)
                 except BaseException as e:
                     for r in reqs:
@@ -275,7 +359,7 @@ class DynamicBatcher:
                 self._resolve(*pending)
                 pending = None
             if reqs:
-                pending = (reqs, out)
+                pending = (reqs, out, t_dispatch)
             elif out is None and pending is None and self._q.empty():
                 continue
         if pending is not None:

@@ -28,7 +28,8 @@ import numpy as np
 def build_batched_infer(model, params, max_batch: int = 8,
                         det_thresh: float = 0.3, nms_kernel_size: int = 3,
                         max_delay_ms: float = 5.0, forward_fn=None,
-                        fields=None, mesh=None, wire: str = "u8"):
+                        fields=None, mesh=None, wire: str = "u8",
+                        max_queue: int = 0, deadline_s: float = 0.0):
     """(batcher, preprocess) for ``model`` at a fixed batch capacity.
 
     ``forward_fn``: optional ``(params, x, K) -> out`` override replacing the
@@ -117,6 +118,7 @@ def build_batched_infer(model, params, max_batch: int = 8,
     batcher = DynamicBatcher(
         batch_fn, extract_fn, max_batch=max_batch, max_delay_ms=max_delay_ms,
         wire_dtype=np.uint8 if wire_u8 else np.float32,
+        max_queue=max_queue, deadline_s=deadline_s,
     )
     return batcher, preprocess
 
@@ -137,24 +139,29 @@ def _persons_json(persons) -> bytes:
 def make_server(model, params, port: int = 8000, max_batch: int = 8,
                 det_thresh: float = 0.3, nms_kernel_size: int = 3,
                 max_delay_ms: float = 5.0, forward_fn=None,
-                json_only: bool = False, mesh=None, warmup: bool = True):
+                json_only: bool = False, mesh=None, warmup: bool = True,
+                max_queue: int = 0, deadline_s: float = 0.0):
     """Build (ThreadingHTTPServer, batcher). Caller runs serve_forever().
     ``forward_fn``/``mesh``: see :func:`build_batched_infer`. ``json_only``:
     skip the mesh-tensor (v3d/rotvec/shape/...) device readback —
     /infer?render=1 then returns 400, and per-request latency drops to the
     JSON fields' readback only. ``warmup``: compile + run one dummy batch
     before returning, so the first clients never wait out the jit compile
-    inside their request timeout (see :meth:`DynamicBatcher.warmup`)."""
+    inside their request timeout (see :meth:`DynamicBatcher.warmup`).
+    ``max_queue``/``deadline_s``: overload policy — a full queue sheds with
+    HTTP 429 + Retry-After, a request that ages past the deadline before
+    dispatch fails with 503 (see :class:`DynamicBatcher`)."""
     from PIL import Image
 
     from multihmr_tpu.render import overlay_human_meshes
+    from multihmr_tpu.serve.batcher import DeadlineExceeded, QueueFull
 
     json_fields = ["scores", "loc", "transl", "transl_pelvis", "j2d"]
     batcher, preprocess = build_batched_infer(
         model, params, max_batch=max_batch, det_thresh=det_thresh,
         nms_kernel_size=nms_kernel_size, max_delay_ms=max_delay_ms,
         forward_fn=forward_fn, fields=json_fields if json_only else None,
-        mesh=mesh,
+        mesh=mesh, max_queue=max_queue, deadline_s=deadline_s,
     )
     if warmup:
         batcher.warmup((model.cfg.img_size, model.cfg.img_size, 3),
@@ -226,6 +233,27 @@ def make_server(model, params, port: int = 8000, max_batch: int = 8,
                     self._send(200, "application/json", _persons_json(persons))
             except BrokenPipeError:  # pragma: no cover
                 pass
+            except QueueFull as e:
+                # load shed: tell the client when to come back instead of
+                # queueing past the serving ceiling
+                self._send(
+                    429, "application/json",
+                    json.dumps({"error": "overloaded",
+                                "retry_after_s": round(e.retry_after_s, 1)}
+                               ).encode(),
+                    extra=[("Retry-After",
+                            str(max(1, int(round(e.retry_after_s)))))],
+                )
+            except DeadlineExceeded as e:
+                self._send(
+                    503, "application/json",
+                    json.dumps({"error": f"deadline exceeded: {e}"}).encode(),
+                )
+            except TimeoutError as e:
+                self._send(
+                    504, "application/json",
+                    json.dumps({"error": f"timeout: {e}"}).encode(),
+                )
             except Exception as e:
                 self._send(
                     500, "application/json",

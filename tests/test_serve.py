@@ -399,3 +399,146 @@ def test_device_op_table_parses_trace(tmp_path):
     times = [ms for _, ms, _ in table]
     assert times == sorted(times, reverse=True)
     assert all(cnt >= 1 for _, _, cnt in table)
+
+
+def test_batcher_queue_full_sheds():
+    """Bounded-queue load shed: with the worker busy and the queue at
+    max_queue, submit() must fail fast with QueueFull (+ a Retry-After
+    estimate) instead of queueing without bound."""
+    from multihmr_tpu.serve import QueueFull
+
+    release = threading.Event()
+    started = threading.Event()
+
+    def slow_batch_fn(x, K):
+        started.set()
+        release.wait(10)
+        return x
+
+    batcher = DynamicBatcher(slow_batch_fn, lambda o, n: [None] * n,
+                             max_batch=1, max_delay_ms=0.0, max_queue=2)
+    outcomes = {}
+
+    def client(i):
+        try:
+            outcomes[i] = batcher.submit(
+                np.zeros((4, 4, 3), np.float32), np.eye(3), timeout=30.0)
+        except BaseException as e:
+            outcomes[i] = e
+
+    try:
+        t0 = threading.Thread(target=client, args=(0,))
+        t0.start()
+        assert started.wait(5)  # worker now blocked inside the device call
+        backlog = [threading.Thread(target=client, args=(i,)) for i in (1, 2)]
+        for t in backlog:
+            t.start()
+        for _ in range(500):  # wait for both to be genuinely queued
+            if batcher._q.qsize() >= 2:
+                break
+            time.sleep(0.01)
+        assert batcher._q.qsize() >= 2
+
+        with pytest.raises(QueueFull) as ei:
+            batcher.submit(np.zeros((4, 4, 3), np.float32), np.eye(3))
+        assert ei.value.retry_after_s > 0
+        release.set()
+        t0.join(10)
+        for t in backlog:
+            t.join(10)
+        assert batcher.stats.snapshot()["shed"]["queue_full"] == 1
+        # the queued (non-shed) requests still completed normally
+        assert not isinstance(outcomes[1], BaseException)
+        assert not isinstance(outcomes[2], BaseException)
+    finally:
+        release.set()
+        batcher.close()
+
+
+def test_batcher_deadline_sheds_stale_requests():
+    """Per-request dispatch deadline: requests that age past deadline_s in
+    the queue are failed with DeadlineExceeded at dequeue time — never
+    dispatched — so a burst's stale tail doesn't waste device batches."""
+    from multihmr_tpu.serve import DeadlineExceeded
+
+    def slow_batch_fn(x, K):
+        time.sleep(0.3)
+        return x
+
+    batcher = DynamicBatcher(slow_batch_fn, lambda o, n: [None] * n,
+                             max_batch=1, max_delay_ms=0.0, deadline_s=0.1)
+    outcomes = {}
+
+    def client(i):
+        try:
+            outcomes[i] = batcher.submit(
+                np.zeros((4, 4, 3), np.float32), np.eye(3), timeout=10.0)
+        except BaseException as e:
+            outcomes[i] = e
+
+    try:
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(15)
+        oks = [o for o in outcomes.values() if not isinstance(o, BaseException)]
+        shed = [o for o in outcomes.values() if isinstance(o, DeadlineExceeded)]
+        # one request occupies the 0.3 s batch; the other two wait > 0.1 s
+        assert len(oks) == 1 and len(shed) == 2, outcomes
+        assert batcher.stats.snapshot()["shed"]["deadline"] == 2
+    finally:
+        batcher.close()
+
+
+def test_http_overload_status_codes():
+    """HTTP mapping of the overload policy: QueueFull → 429 with a
+    Retry-After header, DeadlineExceeded → 503 (batcher behavior itself is
+    covered by the two tests above; here the shed is injected so the
+    HTTP layer is deterministic)."""
+    from PIL import Image
+
+    from multihmr_tpu.serve import DeadlineExceeded, QueueFull
+
+    model, params = _tiny_model()
+    srv, batcher = make_server(model, params, port=0, max_batch=2,
+                               det_thresh=0.1, max_delay_ms=1.0,
+                               max_queue=4, deadline_s=5.0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    orig_submit = batcher.submit
+    try:
+        img = np.zeros((32, 32, 3), np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="PNG")
+        payload = buf.getvalue()
+
+        def post():
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/infer", data=payload, method="POST")
+            return urllib.request.urlopen(req, timeout=30)
+
+        def raiser(exc):
+            def _submit(*a, **k):
+                raise exc
+            return _submit
+
+        batcher.submit = raiser(QueueFull(4, retry_after_s=2.3))
+        with pytest.raises(urllib.error.HTTPError) as e:
+            post()
+        assert e.value.code == 429
+        assert e.value.headers["Retry-After"] == "2"
+        assert json.loads(e.value.read())["retry_after_s"] == 2.3
+
+        batcher.submit = raiser(DeadlineExceeded("stale"))
+        with pytest.raises(urllib.error.HTTPError) as e:
+            post()
+        assert e.value.code == 503
+
+        batcher.submit = orig_submit  # healthy path still works
+        with post() as r:
+            assert "persons" in json.load(r)
+    finally:
+        batcher.submit = orig_submit
+        srv.shutdown()
+        batcher.close()

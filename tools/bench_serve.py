@@ -52,31 +52,55 @@ def make_jpegs(n: int, w: int = 800, h: int = 600) -> list:
     return out
 
 
-def run_load(url: str, jpegs: list, clients: int, requests_each: int):
+def run_load(url: str, jpegs: list, clients: int, requests_each: int,
+             retry_shed: bool = False):
     """Drive ``clients`` concurrent threads, each POSTing ``requests_each``
-    images sequentially. Returns (per-request latencies s, wall s, errors)."""
+    images sequentially. Returns (per-request latencies s, wall s, errors,
+    status_counts). Shed responses (429/503) are counted in status_counts,
+    not reported as errors — they are the overload policy working; with
+    ``retry_shed`` a 429 waits out the server's Retry-After then retries
+    once (the well-behaved-client protocol)."""
     lat = [[] for _ in range(clients)]
     errors = []
+    status_counts: dict = {}
+    counts_lock = threading.Lock()
     start_gate = threading.Event()
+
+    def count(code):
+        with counts_lock:
+            status_counts[code] = status_counts.get(code, 0) + 1
 
     def client(ci: int):
         start_gate.wait()
         for ri in range(requests_each):
             body = jpegs[(ci + ri) % len(jpegs)]
-            req = urllib.request.Request(
-                url + "/infer", data=body,
-                headers={"Content-Type": "image/jpeg"},
-            )
+            attempts = 2 if retry_shed else 1
             t0 = time.perf_counter()
-            try:
-                with urllib.request.urlopen(req, timeout=120) as r:
-                    json.loads(r.read())
-                lat[ci].append(time.perf_counter() - t0)
-            except urllib.error.HTTPError as e:  # pragma: no cover
-                body = e.read()[:200].decode(errors="replace")
-                errors.append(f"client {ci} req {ri}: HTTP {e.code}: {body}")
-            except Exception as e:  # pragma: no cover - load-test diagnostics
-                errors.append(f"client {ci} req {ri}: {type(e).__name__}: {e}")
+            for attempt in range(attempts):
+                req = urllib.request.Request(
+                    url + "/infer", data=body,
+                    headers={"Content-Type": "image/jpeg"},
+                )
+                try:
+                    with urllib.request.urlopen(req, timeout=120) as r:
+                        json.loads(r.read())
+                    lat[ci].append(time.perf_counter() - t0)
+                    count(200)
+                    break
+                except urllib.error.HTTPError as e:  # pragma: no cover
+                    count(e.code)
+                    if e.code == 429 and attempt + 1 < attempts:
+                        time.sleep(float(e.headers.get("Retry-After", 1)))
+                        continue
+                    if e.code not in (429, 503):
+                        body_txt = e.read()[:200].decode(errors="replace")
+                        errors.append(
+                            f"client {ci} req {ri}: HTTP {e.code}: {body_txt}")
+                    break
+                except Exception as e:  # pragma: no cover - diagnostics
+                    errors.append(
+                        f"client {ci} req {ri}: {type(e).__name__}: {e}")
+                    break
 
     threads = [threading.Thread(target=client, args=(i,)) for i in range(clients)]
     for t in threads:
@@ -86,7 +110,7 @@ def run_load(url: str, jpegs: list, clients: int, requests_each: int):
     for t in threads:
         t.join()
     wall = time.perf_counter() - t0
-    return [x for l in lat for x in l], wall, errors
+    return [x for l in lat for x in l], wall, errors, status_counts
 
 
 def main():
@@ -96,6 +120,11 @@ def main():
     p.add_argument("--requests", type=int, default=20)
     p.add_argument("--max_batch", type=int, default=8)
     p.add_argument("--max_delay_ms", type=float, default=5.0)
+    p.add_argument("--max_queue", type=int, default=16,
+                   help="bounded queue for the overload policy under test")
+    p.add_argument("--deadline_s", type=float, default=10.0)
+    p.add_argument("--burst_clients", type=int, default=0,
+                   help="over-capacity burst phase size (0 = 4x clients)")
     p.add_argument("--no-merge", action="store_true")
     args = p.parse_args()
 
@@ -119,6 +148,7 @@ def main():
     srv, batcher = make_server(
         model, params, port=0, max_batch=args.max_batch,
         max_delay_ms=args.max_delay_ms, json_only=True,
+        max_queue=args.max_queue, deadline_s=args.deadline_s,
     )
     print(f"# server up (compile) {time.perf_counter()-t0:.1f}s", file=sys.stderr)
     serve_forever_in_thread(srv)
@@ -127,20 +157,54 @@ def main():
     jpegs = make_jpegs(4)
 
     # HTTP-path warmup burst (handler threads, decode, batcher round trip)
-    _, warm_wall, errs = run_load(url, jpegs, clients=args.max_batch, requests_each=1)
+    _, warm_wall, errs, _ = run_load(url, jpegs, clients=args.max_batch,
+                                     requests_each=1)
     if errs:
         print("\n".join(errs), file=sys.stderr)
         raise SystemExit("warmup failed")
     # the warmup burst stays out of the reported server-side stats
     batcher.stats = type(batcher.stats)()
 
-    lat, wall, errs = run_load(url, jpegs, args.clients, args.requests)
+    lat, wall, errs, _ = run_load(url, jpegs, args.clients, args.requests)
     if errs:
         print("\n".join(errs[:5]), file=sys.stderr)
     with urllib.request.urlopen(url + "/stats", timeout=10) as r:
         stats = json.loads(r.read())
+
+    # ---- over-capacity burst: offered load far beyond the wire ceiling ----
+    # The steady-state phase above is queueing-dominated already; this phase
+    # proves the OVERLOAD POLICY — with the bounded queue + deadline, a
+    # 2-4× burst must yield (a) nonzero 429 sheds, (b) a p95 for ACCEPTED
+    # requests bounded by ~(max_queue/max_batch + 2) batch cycles, instead
+    # of latency growing linearly with the burst size.
+    burst_clients = args.burst_clients or 4 * args.clients
+    batcher.stats = type(batcher.stats)()
+    b_lat, b_wall, b_errs, b_codes = run_load(
+        url, jpegs, burst_clients, requests_each=4, retry_shed=True)
+    if b_errs:
+        print("\n".join(b_errs[:5]), file=sys.stderr)
+    with urllib.request.urlopen(url + "/stats", timeout=10) as r:
+        b_stats = json.loads(r.read())
     srv.shutdown()
     batcher.close()
+
+    b_lat_ms = 1e3 * np.asarray(b_lat) if b_lat else np.asarray([])
+    burst = {
+        "offered_clients": burst_clients,
+        "max_queue": args.max_queue,
+        "deadline_s": args.deadline_s,
+        "ok": int(b_codes.get(200, 0)),
+        "shed_429": int(b_codes.get(429, 0)),
+        "shed_503": int(b_codes.get(503, 0)),
+        "other_errors": len(b_errs),
+        "throughput_img_s": round(len(b_lat) / b_wall, 1) if b_wall else 0,
+        "accepted_latency_ms": None if not len(b_lat_ms) else {
+            "p50": round(float(np.percentile(b_lat_ms, 50)), 1),
+            "p95": round(float(np.percentile(b_lat_ms, 95)), 1),
+            "max": round(float(b_lat_ms.max()), 1),
+        },
+        "server_stats": b_stats,
+    }
 
     lat_ms = 1e3 * np.asarray(lat)
     n_ok = len(lat)
@@ -158,6 +222,7 @@ def main():
             "max": round(float(lat_ms.max()), 1),
         },
         "server_stats": stats,
+        "overload_burst": burst,
     }
     print(json.dumps(result), flush=True)
 
