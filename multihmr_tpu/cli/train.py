@@ -200,7 +200,9 @@ def main():
             res = evaluate_dataset(eval_model, params, ds)
         else:
             raise ValueError(args.valset)
-        logger.scalars(res, epoch, prefix=f"{args.valset}-test-{args.subsample}/")
+        logger.scalars(  # scalars only — 'timings' is a nested phase dict
+            {k: v for k, v in res.items() if isinstance(v, (int, float))},
+            epoch, prefix=f"{args.valset}-test-{args.subsample}/")
         print(f"eval[{args.valset}] epoch {epoch}: {res}")
         return res
 

@@ -115,6 +115,14 @@ def _save_eval_visu(visu_dir, idx, x, annot, persons, gt, faces):
         np.save(os.path.join(visu_dir, f"eval_{idx:04d}.npy"), strip)
 
 
+def _project_np(j3d: np.ndarray, K: np.ndarray) -> np.ndarray:
+    """``perspective_projection`` in host numpy (K·(x/z), utils/camera.py:14-27)
+    — GT never touches the device: through a remote-TPU link every eager
+    device op in the per-image loop costs a ~25 ms round trip."""
+    y = j3d / j3d[..., -1:]
+    return np.einsum("ij,...kj->...ki", np.asarray(K, np.float64), y)[..., :2]
+
+
 def evaluate_dataset(
     model,
     params,
@@ -130,6 +138,7 @@ def evaluate_dataset(
     visu_to_save: int = 0,
     visu_dir: str = "eval_visu",
     faces: Optional[np.ndarray] = None,
+    pipeline: bool = True,
 ) -> Dict[str, float]:
     """Run eval over a dataset yielding (image NHWC, annot dict).
 
@@ -138,51 +147,89 @@ def evaluate_dataset(
     vertices; EHF-style datasets with ``smplx_vertices`` are handled
     natively (GT joints regressed with the model's J_regressor, reference
     train.py:72-74).
+
+    TPU-native loop shape (vs the reference's strictly serial
+    train.py:351-357): with ``pipeline=True`` image *i+1*'s forward is
+    DISPATCHED before image *i*'s result is pulled back, so the device
+    computes while the host matches/scores — jax's async dispatch makes the
+    overlap free. Images with ``uint8`` dtype are normalized on-device
+    (4× fewer upload bytes — the upload, not compute, dominates a remote
+    link). ``results['timings']`` attributes the whole wall clock:
+    load / dispatch / wait / readback / gt / match_metrics / visu sum to
+    ~wall (the residue is loop overhead).
     """
-    fwd = jax.jit(
-        lambda p, x, K: model.forward(
+    from multihmr_tpu.ops.image import IMG_NORM_MEAN, IMG_NORM_STD
+
+    def body(p, x, K):
+        if x.dtype == jnp.uint8:  # u8 wire: normalize on device
+            x = (x.astype(jnp.float32) / 255.0
+                 - jnp.asarray(IMG_NORM_MEAN)) / jnp.asarray(IMG_NORM_STD)
+        return model.forward(
             p, x, K, det_thresh=det_thresh, nms_kernel_size=nms_kernel_size
         )
-    )
+
+    fwd = jax.jit(body)
     meters = {k: AverageMeter(k) for k in ["pve", "pa_pve", "mpjpe", "pa_mpjpe"]}
     count = miss = fp = 0
+    import time
+
+    timings = {k: 0.0 for k in (
+        "load", "dispatch", "wait", "readback", "gt", "match_metrics", "visu")}
 
     n = len(dataset) if max_images is None else min(len(dataset), max_images)
-    for i in range(n):
+
+    def dispatch(i):
+        t0 = time.perf_counter()
         x, annot = dataset[i]
+        t1 = time.perf_counter()
         out = fwd(params, jnp.asarray(x[None]), jnp.asarray(annot["K"][None]))
-        # trimmed readback: the metrics below touch only v3d / j2d /
-        # transl_pelvis — one overlapped device_get instead of all 10 fields
+        timings["load"] += t1 - t0
+        timings["dispatch"] += time.perf_counter() - t1
+        return i, x, annot, out
+
+    def process(item):
+        nonlocal count, miss, fp
+        i, x, annot, out = item
+        # forward completion wait (device time not hidden by the pipeline),
+        # then the trimmed readback: the metrics below touch only
+        # v3d / j2d / transl_pelvis — one overlapped device_get
+        t0 = time.perf_counter()
+        jax.block_until_ready(out)  # one program produces every leaf
+        t1 = time.perf_counter()
         persons = model.extract_persons(
             out, fields=["v3d", "j2d", "transl_pelvis"]
         )[0]
+        t2 = time.perf_counter()
+        timings["wait"] += t1 - t0
+        timings["readback"] += t2 - t1
 
-        # ---- GT meshes ----
+        # ---- GT meshes (host-only) ----
         if gt_forward is not None:
             gt = gt_forward(annot)
         elif "smplx_vertices" in annot["humans"][0]:
             verts = np.stack([h["smplx_vertices"] for h in annot["humans"]])
             Jreg = np.asarray(model.body_model.J_regressor)
             j3d = np.einsum("jv,pvc->pjc", Jreg, verts)
-            j2d = np.asarray(
-                perspective_projection(
-                    jnp.asarray(j3d), jnp.asarray(annot["K"][None])
-                )
-            )
+            j2d = _project_np(j3d, annot["K"]).astype(np.float32)
             gt = {"v3d": verts, "j3d": j3d, "j2d": j2d}
         else:
             raise ValueError("dataset provides no GT meshes and no gt_forward")
+        t3 = time.perf_counter()
+        timings["gt"] += t3 - t2
 
         # eval-time visualization (reference train.py:441-469: saves
         # image/pred/GT triptychs for the first --visu_to_save images)
         if i < visu_to_save and faces is not None:
             _save_eval_visu(visu_dir, i, x, annot, persons, gt, faces)
+            timings["visu"] += time.perf_counter() - t3
+            t3 = time.perf_counter()
 
         n_gt = gt["v3d"].shape[0]
         count += n_gt
         if not persons:
             miss += n_gt
-            continue
+            timings["match_metrics"] += time.perf_counter() - t3
+            return
 
         # predictions truncated to the GT joint count (reference train.py:361)
         n_j = gt["j2d"].shape[1]
@@ -218,11 +265,27 @@ def evaluate_dataset(
                     float(1000 * np.linalg.norm(pj - gj, axis=-1).mean())
                 )
                 meters["pa_mpjpe"].update(float(pa_pve(pj, gj)[0]))
+        timings["match_metrics"] += time.perf_counter() - t3
         if log_every and (i + 1) % log_every == 0:
             log_fn(
                 f"[{i+1}/{n}] pve={meters['pve'].avg:.1f} "
                 f"pa_pve={meters['pa_pve'].avg:.1f}"
             )
+
+    t_start = time.perf_counter()
+    if pipeline:
+        in_flight = None
+        for i in range(n):
+            nxt = dispatch(i)  # device starts image i ...
+            if in_flight is not None:
+                process(in_flight)  # ... while the host scores image i-1
+            in_flight = nxt
+        if in_flight is not None:
+            process(in_flight)
+    else:  # reference-shaped serial loop (train.py:351-357), for A/B timing
+        for i in range(n):
+            process(dispatch(i))
+    wall = time.perf_counter() - t_start
 
     precision, recall, f1 = compute_prf1(count, miss, fp)
     results = {
@@ -232,6 +295,8 @@ def evaluate_dataset(
         "recall": recall,
         "f1_score": f1,
         "n_images": n,
+        "timings": {**{k: round(v, 4) for k, v in timings.items()},
+                    "wall": round(wall, 4)},
     }
     if J_regressor_h36m is not None:
         results["mpjpe"] = meters["mpjpe"].avg
