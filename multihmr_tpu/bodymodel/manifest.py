@@ -139,6 +139,48 @@ def check_smplx_npz(path: str,
     return problems
 
 
+def check_constants_against_smplx_npz(path: str) -> List[str]:
+    """Cross-check the VENDORED constant tables (bodymodel/constants.py —
+    reproduced from the public smplx package v1.1.1, never verified against
+    a real asset in this zero-egress environment) against an actual
+    ``SMPLX_NEUTRAL.npz``: joint counts, landmark counts, and vertex-id
+    ranges must be mutually consistent, or the 127-joint output layout
+    (reference utils/humans.py:25-26) silently shifts. Value-level vertex-id
+    verification still needs real weights (a wrong id shows up as a
+    per-person joint delta in tools/parity_harness.py --stages)."""
+    from multihmr_tpu.bodymodel.constants import (
+        EXTRA_JOINT_ORDER,
+        SMPLX_JOINT_NAMES,
+        VERTEX_IDS,
+    )
+
+    try:
+        data = np.load(path, allow_pickle=True)
+    except Exception as e:
+        return [f"constants-vs-npz: cannot load {os.path.basename(path)} ({e})"]
+    problems = []
+    n_fk = _shape_of(data["kintree_table"])[1] if "kintree_table" in data else None
+    if n_fk is not None and n_fk != 55:
+        problems.append(
+            f"constants-vs-npz: npz has {n_fk} FK joints, the vendored "
+            f"joint-name table assumes 55 (SMPLX_JOINT_NAMES[:55])")
+    n_lmk = _shape_of(data["lmk_faces_idx"])[0] if "lmk_faces_idx" in data else None
+    if n_lmk is not None and n_lmk + 55 + len(EXTRA_JOINT_ORDER) != len(
+        SMPLX_JOINT_NAMES
+    ):
+        problems.append(
+            f"constants-vs-npz: 55 FK + {len(EXTRA_JOINT_ORDER)} extra + "
+            f"{n_lmk} landmarks != {len(SMPLX_JOINT_NAMES)} vendored names")
+    if "v_template" in data:
+        n_verts = _shape_of(data["v_template"])[0]
+        bad = {k: v for k, v in VERTEX_IDS["smplx"].items() if v >= n_verts}
+        if bad:
+            problems.append(
+                f"constants-vs-npz: vertex ids out of range for "
+                f"{n_verts}-vertex mesh: {bad}")
+    return problems
+
+
 def check_smpl_pkl(path: str) -> List[str]:
     from multihmr_tpu.bodymodel.assets import _TolerantUnpickler
 
@@ -173,30 +215,74 @@ def check_mean_params(path: str) -> List[str]:
 
 def check_checkpoint(path: str,
                      warnings: Optional[List[str]] = None) -> List[str]:
-    """Structural check of a released ``multiHMR_*.pt`` (reference
-    demo.py:87-103 expects ``args`` + ``model_state_dict`` entries).
+    """Validate a released ``multiHMR_*.pt`` against the FULL converter
+    contract — not just structure (reference demo.py:87-103: ``args`` +
+    ``model_state_dict``), but every key name and tensor shape
+    ``io.checkpoint.convert_torch_checkpoint`` will consume for the config
+    rebuilt from ``ckpt['args']`` (the converter-assumption manifest,
+    docs/DESIGN.md). Anny checkpoints (``'anny' in name``, the reference's
+    own dispatch rule, demo.py:95) are checked against the Anny key set.
 
     A missing torch on the host is a verification limitation, not an asset
     problem — it goes to ``warnings`` (when given) so a torch-less machine
     does not flag every valid checkpoint as INVALID.
     """
+    name = os.path.basename(path)
     try:
         import torch
     except ImportError:
         if warnings is not None:
             warnings.append(
-                f"{os.path.basename(path)}: unverifiable "
+                f"{name}: unverifiable "
                 "(torch not installed; structural check skipped)"
             )
         return []
     try:
         ckpt = torch.load(path, map_location="cpu", weights_only=False)
     except Exception as e:
-        return [f"{os.path.basename(path)}: cannot load ({e})"]
+        return [f"{name}: cannot load ({e})"]
+    return check_checkpoint_dict(ckpt, name)
+
+
+def check_checkpoint_dict(ckpt, name: str) -> List[str]:
+    """The loadable part of :func:`check_checkpoint` (testable without a
+    .pt file on disk)."""
     problems = []
     for key in ("args", "model_state_dict"):
         if key not in ckpt:
-            problems.append(f"{os.path.basename(path)}: missing '{key}'")
+            problems.append(f"{name}: missing '{key}'")
+    if problems:
+        return problems
+
+    from multihmr_tpu.io.checkpoint import (
+        config_from_ckpt_args,
+        expected_reference_keys_anny,
+        validate_reference_state_dict,
+    )
+
+    try:
+        cfg = config_from_ckpt_args(ckpt["args"])
+    except Exception as e:
+        return problems + [f"{name}: cannot rebuild config from args ({e})"]
+    sd = {k: v for k, v in ckpt["model_state_dict"].items()
+          if not k.startswith(("smpl_layer", "body_model"))}
+    if "anny" in name:  # the reference's own dispatch rule (demo.py:95)
+        missing = sorted(expected_reference_keys_anny(cfg) - set(sd))
+        for k in missing[:20]:
+            problems.append(f"{name}: anny converter key missing: {k}")
+        if len(missing) > 20:
+            problems.append(f"{name}: ... and {len(missing) - 20} more")
+        return problems
+    report = validate_reference_state_dict(sd, cfg)
+    for k in report["missing"][:20]:
+        problems.append(f"{name}: converter key missing: {k}")
+    if len(report["missing"]) > 20:
+        problems.append(f"{name}: ... and {len(report['missing']) - 20} more missing")
+    for msg in report["bad_shape"][:20]:
+        problems.append(f"{name}: shape contract violated: {msg}")
+    if len(report["bad_shape"]) > 20:
+        problems.append(
+            f"{name}: ... and {len(report['bad_shape']) - 20} more bad shapes")
     return problems
 
 
@@ -223,6 +309,7 @@ def check_assets_dir(assets_dir: str) -> Dict[str, object]:
             rel = os.path.relpath(path, assets_dir)
             if fn.startswith("SMPLX_") and fn.endswith(".npz"):
                 p = check_smplx_npz(path, warnings)
+                p += check_constants_against_smplx_npz(path)
             elif fn.startswith("SMPL_") and fn.endswith(".pkl"):
                 p = check_smpl_pkl(path)
             elif fn == "smpl_mean_params.npz":

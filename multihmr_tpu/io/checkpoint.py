@@ -111,6 +111,125 @@ def expected_reference_keys(cfg: ModelConfig) -> set:
     return keys
 
 
+def expected_reference_shapes(cfg: ModelConfig) -> dict:
+    """Shape contract: the exact torch-side tensor shapes
+    :func:`convert_torch_checkpoint` assumes for every key it consumes
+    (``None`` = wildcard dim). This is the machine-checkable half of the
+    converter-assumption manifest (docs/DESIGN.md §converter-assumptions) —
+    the converter's transposes/reshapes would otherwise turn a layout
+    mismatch in a real ``multiHMR_*.pt`` into silent garbage weights."""
+    vit = cfg.vit
+    D = vit.embed_dim
+    H = int(D * vit.mlp_ratio)
+    hph = cfg.hph
+    inner = hph.heads * hph.dim_head
+    C = D + cfg.camera_embed_dim
+    shapes = {}
+    bb = "backbone.encoder."
+    shapes[bb + "patch_embed.proj.weight"] = (D, 3, 14, 14)
+    shapes[bb + "patch_embed.proj.bias"] = (D,)
+    shapes[bb + "cls_token"] = (1, 1, D)
+    # pos_embed: (1, 1 + g0², D) for ANY source grid g0 — bicubically
+    # resampled to the working grid (reference hub-DINOv2 interpolates too)
+    shapes[bb + "pos_embed"] = (1, None, D)
+    shapes[bb + "norm.weight"] = (D,)
+    shapes[bb + "norm.bias"] = (D,)
+    for i in range(vit.depth):
+        b = f"{bb}blocks.{i}."
+        for nrm in ("norm1", "norm2"):
+            shapes[b + nrm + ".weight"] = (D,)
+            shapes[b + nrm + ".bias"] = (D,)
+        shapes[b + "attn.qkv.weight"] = (3 * D, D)
+        shapes[b + "attn.qkv.bias"] = (3 * D,)
+        shapes[b + "attn.proj.weight"] = (D, D)
+        shapes[b + "attn.proj.bias"] = (D,)
+        shapes[b + "ls1.gamma"] = (D,)
+        shapes[b + "ls2.gamma"] = (D,)
+        shapes[b + "mlp.fc1.weight"] = (H, D)
+        shapes[b + "mlp.fc1.bias"] = (H,)
+        shapes[b + "mlp.fc2.weight"] = (D, H)
+        shapes[b + "mlp.fc2.bias"] = (D,)
+    for m, od in (("mlp_classif", 1), ("mlp_offset", 2)):
+        shapes[f"{m}.0.weight"] = (D, D)
+        shapes[f"{m}.0.bias"] = (D,)
+        shapes[f"{m}.2.weight"] = (od, D)
+        shapes[f"{m}.2.bias"] = (od,)
+    xa = "x_attention_head."
+    g = cfg.grid_size
+    for name in ("cross_queries_x", "cross_queries_y",
+                 "cross_values_x", "cross_values_y"):
+        shapes[xa + name] = (g, C)
+    shapes[xa + "init_body_pose"] = (1, cfg.npose)
+    shapes[xa + "init_betas"] = (1, cfg.num_betas)
+    shapes[xa + "init_cam"] = (1, 3)
+    shapes[xa + "init_expression"] = (1, 10)
+    shapes[xa + "transformer.to_token_embedding.weight"] = (hph.dim, cfg.token_dim)
+    shapes[xa + "transformer.to_token_embedding.bias"] = (hph.dim,)
+    shapes[xa + "transformer.pos_embedding"] = (1, None, hph.dim)
+    for dec, od in (("decpose", cfg.npose), ("decshape", cfg.num_betas),
+                    ("deccam", 3), ("decexpression", 10)):
+        shapes[xa + dec + ".weight"] = (od, hph.dim)
+        shapes[xa + dec + ".bias"] = (od,)
+    for i in range(cfg.xat_depth):
+        layer = f"{xa}transformer.transformer.layers.{i}."
+        for j in (0, 1, 2):
+            shapes[layer + f"{j}.norm.weight"] = (hph.dim,)
+            shapes[layer + f"{j}.norm.bias"] = (hph.dim,)
+        shapes[layer + "0.fn.to_qkv.weight"] = (3 * inner, hph.dim)
+        shapes[layer + "0.fn.to_out.0.weight"] = (hph.dim, inner)
+        shapes[layer + "0.fn.to_out.0.bias"] = (hph.dim,)
+        shapes[layer + "1.fn.to_kv.weight"] = (2 * inner, C)
+        shapes[layer + "1.fn.to_q.weight"] = (inner, hph.dim)
+        shapes[layer + "1.fn.to_out.0.weight"] = (hph.dim, inner)
+        shapes[layer + "1.fn.to_out.0.bias"] = (hph.dim,)
+        shapes[layer + "2.fn.net.0.weight"] = (hph.mlp_dim, hph.dim)
+        shapes[layer + "2.fn.net.0.bias"] = (hph.mlp_dim,)
+        shapes[layer + "2.fn.net.3.weight"] = (hph.dim, hph.mlp_dim)
+        shapes[layer + "2.fn.net.3.bias"] = (hph.dim,)
+    return shapes
+
+
+def expected_reference_keys_anny(cfg) -> set:
+    """Every state-dict key :func:`convert_torch_checkpoint_anny` consumes —
+    the key contract with ``multiHMR_*_anny`` checkpoints (reference
+    multi_hmr_anny/multi_hmr.py naming)."""
+    keys = {"dec_to_token.weight", "dec_to_token.bias",
+            "dec_pos_emb", "init_body_pose"}
+    bb = "encoder.backbone."
+    keys |= {
+        bb + "patch_embed.proj.weight", bb + "patch_embed.proj.bias",
+        bb + "cls_token", bb + "pos_embed", bb + "norm.weight", bb + "norm.bias",
+    }
+    for i in range(cfg.vit.depth):
+        b = f"{bb}blocks.{i}."
+        keys |= {
+            b + "norm1.weight", b + "norm1.bias",
+            b + "attn.qkv.weight", b + "attn.qkv.bias",
+            b + "attn.proj.weight", b + "attn.proj.bias",
+            b + "ls1.gamma", b + "ls2.gamma",
+            b + "norm2.weight", b + "norm2.bias",
+            b + "mlp.fc1.weight", b + "mlp.fc1.bias",
+            b + "mlp.fc2.weight", b + "mlp.fc2.bias",
+        }
+    for m in ("encoder.mlp_det", "encoder.mlp_fov_unique",
+              "mlp_offset", "mlp_pose", "mlp_shape", "mlp_dist"):
+        keys |= {f"{m}.0.weight", f"{m}.0.bias", f"{m}.2.weight", f"{m}.2.bias"}
+    for i in range(cfg.xat_depth):
+        layer = f"decoder.transformer.layers.{i}."
+        keys |= {
+            layer + "0.norm.weight", layer + "0.norm.bias",
+            layer + "0.fn.to_qkv.weight",
+            layer + "0.fn.to_out.0.weight", layer + "0.fn.to_out.0.bias",
+            layer + "1.norm.weight", layer + "1.norm.bias",
+            layer + "1.fn.to_kv.weight", layer + "1.fn.to_q.weight",
+            layer + "1.fn.to_out.0.weight", layer + "1.fn.to_out.0.bias",
+            layer + "2.norm.weight", layer + "2.norm.bias",
+            layer + "2.fn.net.0.weight", layer + "2.fn.net.0.bias",
+            layer + "2.fn.net.3.weight", layer + "2.fn.net.3.bias",
+        }
+    return keys
+
+
 # Keys the reference checkpoint may carry that the JAX model intentionally
 # has no use for (buffers, stripped smpl layer) — reported as info, never
 # warnings.
@@ -120,14 +239,29 @@ _IGNORABLE = re.compile(
 
 
 def validate_reference_state_dict(sd: Mapping[str, Any], cfg: ModelConfig) -> dict:
-    """{'missing': sorted list, 'unexpected': sorted list, 'ignored': list}."""
+    """{'missing': sorted list, 'unexpected': sorted list, 'ignored': list,
+    'bad_shape': ["key: got (..), expected (..)"]}. ``bad_shape`` checks
+    every present consumed key against :func:`expected_reference_shapes`
+    (None dims are wildcards)."""
     expected = expected_reference_keys(cfg)
     present = set(sd.keys())
     ignored = sorted(k for k in present - expected if _IGNORABLE.search(k))
+    shapes = expected_reference_shapes(cfg)
+    bad_shape = []
+    for k in sorted(expected & present):
+        want = shapes.get(k)
+        if want is None:
+            continue
+        got = tuple(getattr(sd[k], "shape", np.asarray(sd[k]).shape))
+        if len(got) != len(want) or any(
+            w is not None and int(g) != w for g, w in zip(got, want)
+        ):
+            bad_shape.append(f"{k}: got {tuple(int(x) for x in got)}, expected {want}")
     return {
         "missing": sorted(expected - present),
         "unexpected": sorted(k for k in present - expected if not _IGNORABLE.search(k)),
         "ignored": ignored,
+        "bad_shape": bad_shape,
     }
 
 
@@ -164,6 +298,13 @@ def convert_torch_checkpoint(ckpt_or_path, cfg: ModelConfig) -> dict:
             + ("\n  ..." if len(report["missing"]) > 40 else "")
             + "\nLikely a config/checkpoint mismatch — rebuild the config via "
             "config_from_ckpt_args(ckpt['args'])."
+        )
+    if report["bad_shape"]:
+        raise ValueError(
+            f"{len(report['bad_shape'])} checkpoint tensors have shapes the "
+            f"converter's transposes/reshapes cannot accept (layout or "
+            f"config mismatch):\n  " + "\n  ".join(report["bad_shape"][:20])
+            + ("\n  ..." if len(report["bad_shape"]) > 20 else "")
         )
     if report["unexpected"]:
         import warnings

@@ -228,3 +228,83 @@ def test_legacy_npz_rejects_num_betas_11(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(bm.exprdirs), data["shapedirs"][..., 10:20]
     )
+
+
+def test_constants_cross_check_green_and_red(tmp_path):
+    """The vendored constant tables (bodymodel/constants.py) are cross-
+    checked against the npz's joint/landmark/vertex counts; a truncated
+    mesh must flag the out-of-range vertex ids."""
+    from multihmr_tpu.bodymodel.manifest import (
+        check_constants_against_smplx_npz,
+    )
+
+    p = tmp_path / "SMPLX_NEUTRAL.npz"
+    write_smplx_fixture(p)
+    assert check_constants_against_smplx_npz(str(p)) == []
+
+    import numpy as np
+
+    p2 = tmp_path / "SMPLX_SMALL.npz"
+    write_smplx_fixture(p2, v_template=np.zeros((5000, 3), np.float32))
+    problems = check_constants_against_smplx_npz(str(p2))
+    assert any("vertex ids out of range" in m for m in problems)
+
+
+def test_checkpoint_deep_contract(rng_np=None):
+    """check_checkpoint_dict validates the FULL converter contract: a
+    correctly-shaped synthetic checkpoint passes; a missing key and a
+    transposed tensor are both reported by name."""
+    import numpy as np
+
+    from multihmr_tpu.bodymodel.manifest import check_checkpoint_dict
+    from tests.test_checkpoint import TinyConfig, make_reference_state_dict
+
+    rng = np.random.default_rng(0)
+    cfg = TinyConfig(img_size=56, max_people=4)
+    sd = make_reference_state_dict(cfg, rng)
+    args = {"backbone": cfg.backbone, "img_size": [cfg.img_size],
+            "xat_depth": cfg.xat_depth, "num_betas": cfg.num_betas,
+            "person_center": "head"}
+    # TinyConfig overrides .vit, which config_from_ckpt_args cannot know —
+    # give the manifest the same class through the args it consumes
+    import multihmr_tpu.bodymodel.manifest as mf
+    import multihmr_tpu.io.checkpoint as ckpt_mod
+
+    orig = ckpt_mod.config_from_ckpt_args
+    ckpt_mod.config_from_ckpt_args = lambda a, **kw: cfg
+    try:
+        ckpt = {"args": args, "model_state_dict": dict(sd)}
+        assert check_checkpoint_dict(ckpt, "multiHMR_672_S.pt") == []
+
+        bad = dict(sd)
+        bad.pop("mlp_classif.0.weight")
+        problems = check_checkpoint_dict(
+            {"args": args, "model_state_dict": bad}, "multiHMR_672_S.pt")
+        assert any("mlp_classif.0.weight" in m for m in problems)
+
+        bad = dict(sd)
+        bad["x_attention_head.decpose.weight"] = np.ascontiguousarray(
+            bad["x_attention_head.decpose.weight"].T)
+        problems = check_checkpoint_dict(
+            {"args": args, "model_state_dict": bad}, "multiHMR_672_S.pt")
+        assert any("shape contract" in m and "decpose" in m for m in problems)
+    finally:
+        ckpt_mod.config_from_ckpt_args = orig
+
+
+def test_converter_refuses_bad_shapes():
+    """convert_torch_checkpoint must REFUSE a layout mismatch (e.g. a
+    transposed Linear) instead of silently producing garbage weights."""
+    import numpy as np
+    import pytest
+
+    from multihmr_tpu.io.checkpoint import convert_torch_checkpoint
+    from tests.test_checkpoint import TinyConfig, make_reference_state_dict
+
+    rng = np.random.default_rng(1)
+    cfg = TinyConfig(img_size=56, max_people=4)
+    sd = make_reference_state_dict(cfg, rng)
+    sd["backbone.encoder.blocks.0.mlp.fc1.weight"] = np.ascontiguousarray(
+        sd["backbone.encoder.blocks.0.mlp.fc1.weight"].T)
+    with pytest.raises(ValueError, match="fc1"):
+        convert_torch_checkpoint({"model_state_dict": sd}, cfg)
