@@ -292,3 +292,28 @@ def test_batch_map_anny_matches_fused():
             np.asarray(fused[key]), np.asarray(mapped[key]),
             rtol=1e-5, atol=1e-4, err_msg=key,
         )
+
+
+def test_capacity_saturation_warns_and_truncates():
+    """Crowded-image behavior of the static [B, K] design (the reference
+    handles arbitrary P via dynamic shapes, model.py:149): when every slot
+    fills, extract_persons must warn about the capacity truncation and
+    return exactly K people — and the K/latency trade-off is published by
+    tools/sweep_capacity.py (BENCH_SWEEP.json 'k_capacity')."""
+    import warnings
+
+    model = make_model()  # max_people=4
+    params = model.init_params(jax.random.PRNGKey(0))
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 56, 56, 3)), jnp.float32)
+    K = jnp.asarray(
+        [[[100.0, 0, 28], [0, 100.0, 28], [0, 0, 1]]], jnp.float32)
+    # det_thresh=0 on clamped sigmoid scores (all > 0) saturates every slot
+    out = jax.jit(lambda p, x, K: model.forward(p, x, K, det_thresh=0.0))(
+        params, x, K)
+    assert float(out["det"].valid.sum()) == 4
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        persons = model.extract_persons(out)[0]
+    assert len(persons) == 4
+    assert any("saturated the detection capacity" in str(x.message) for x in w)

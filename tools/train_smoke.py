@@ -36,6 +36,14 @@ def main():
         help="append the steady-state step time to BENCH_TRAIN.json "
         "(driver-collectable training-perf artifact)",
     )
+    ap.add_argument(
+        "--ops", type=int, default=0, metavar="N",
+        help="capture a jax.profiler trace of the steady-state train step "
+        "and print the top-N ops by device time (the train-floor analysis "
+        "input, BASELINE.md)",
+    )
+    ap.add_argument("--trace", default=None,
+                    help="trace logdir (default /tmp/multihmr_train_trace)")
     args = ap.parse_args()
 
     import jax
@@ -114,6 +122,20 @@ def main():
         print(f"step {i + 1}: loss={total:.4f}  (step {per_step:.3f}s amortized)")
         assert np.isfinite(total), "non-finite loss"
     print("train smoke OK")
+
+    if args.ops:
+        from multihmr_tpu.utils.profiling import device_op_table, profile_trace
+
+        logdir = args.trace or "/tmp/multihmr_train_trace"
+        runs = 3
+        with profile_trace(logdir):
+            for _ in range(runs):
+                params, opt_state, terms = step(params, opt_state, batch, 0)
+            jax.block_until_ready(params)
+        print(f"trace written to {logdir}")
+        print(f"{'ms/step':>9}  {'count':>5}  op")
+        for name, ms, cnt in device_op_table(logdir, top=args.ops, runs=runs):
+            print(f"{ms:9.3f}  {cnt:5d}  {name[:110]}")
 
     if args.json and n_timed:
         import json
