@@ -8,8 +8,10 @@ keypoints; accept it if both are unassigned and the keypoint bounding boxes
 overlap with IoU ≥ 0.05, count a false positive when the closest pair for a
 prediction fails the IoU gate.
 
-The per-mesh errors (PVE / PA-PVE / MPJPE / PA-MPJPE) run in JAX so the
-Procrustes SVD batches on device during eval sweeps.
+The per-mesh errors (PVE / PA-PVE / MPJPE / PA-MPJPE) run HOST-side in
+numpy: they execute once per matched person inside the eval loop, where an
+eager device op costs a full round trip on a remote-TPU link (the jit-side
+Procrustes lives in ops/rotations.py for in-graph use).
 """
 
 from __future__ import annotations
@@ -17,9 +19,6 @@ from __future__ import annotations
 from typing import List, Sequence, Tuple
 
 import numpy as np
-import jax.numpy as jnp
-
-from multihmr_tpu.ops.rotations import rigid_points_registration
 
 
 def compute_prf1(count: int, miss: int, fp: int) -> Tuple[float, float, float]:
@@ -122,13 +121,33 @@ def pve(pred_verts, gt_verts, pred_pelvis, gt_pelvis) -> np.ndarray:
 
 
 def pa_pve(pred_verts, gt_verts) -> np.ndarray:
-    """Procrustes-aligned per-vertex error in mm (reference train.py:391-394)."""
-    pred = jnp.asarray(pred_verts)
-    gt = jnp.asarray(gt_verts)
-    R, s, t = rigid_points_registration(pred, gt)
-    aligned = s[..., None, None] * jnp.einsum("...ij,...nj->...ni", R, pred) + t[..., None, :]
-    err = jnp.linalg.norm(aligned - gt, axis=-1).mean(-1)
-    return 1000.0 * np.asarray(err)
+    """Procrustes-aligned per-vertex error in mm (reference train.py:391-394).
+
+    HOST-side Kabsch/Umeyama, numerically mirroring
+    :func:`multihmr_tpu.ops.rotations.rigid_points_registration` (which
+    stays the jit-side implementation): this runs once per matched person
+    inside the eval loop, and the former eager-jnp version cost several
+    device round trips per call — measured 18 s of a 54 s EHF-100 sweep
+    through the remote-TPU tunnel, for 3×3 SVDs numpy does in microseconds.
+    """
+    pred = np.asarray(pred_verts, np.float64)
+    gt = np.asarray(gt_verts, np.float64)
+    mu_x = pred.mean(-2, keepdims=True)
+    mu_y = gt.mean(-2, keepdims=True)
+    xc, yc = pred - mu_x, gt - mu_y
+    cov = np.einsum("...ni,...nj->...ij", yc, xc)  # (..., 3, 3)
+    U, S, Vt = np.linalg.svd(cov)
+    det = np.linalg.det(U @ Vt)
+    d = np.where(det < 0, -1.0, 1.0)  # det >= 0 → +1 (degenerate-safe)
+    D = np.broadcast_to(np.eye(3), cov.shape).copy()
+    D[..., 2, 2] = d
+    R = U @ D @ Vt
+    var_x = np.sum(xc * xc, axis=(-1, -2))
+    s = np.sum(S * np.stack([np.ones_like(d), np.ones_like(d), d], -1), -1) / np.maximum(var_x, 1e-24)
+    t = mu_y[..., 0, :] - s[..., None] * np.einsum("...ij,...j->...i", R, mu_x[..., 0, :])
+    aligned = s[..., None, None] * np.einsum("...ij,...nj->...ni", R, pred) + t[..., None, :]
+    err = np.linalg.norm(aligned - gt, axis=-1).mean(-1)
+    return 1000.0 * err
 
 
 class AverageMeter:

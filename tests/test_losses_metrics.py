@@ -133,3 +133,32 @@ def test_pve_and_pa_pve(rng):
     m.update(1.0)
     m.update(3.0)
     assert m.avg == 2.0
+
+
+def test_pa_pve_host_matches_jit_procrustes():
+    """pa_pve's host-side Kabsch/Umeyama must match the jit-side
+    ops.rotations.rigid_points_registration (itself golden-tested vs roma):
+    same R/s/t convention, same degenerate-det handling."""
+    import jax.numpy as jnp
+
+    from multihmr_tpu.ops.rotations import rigid_points_registration
+    from multihmr_tpu.train.metrics import pa_pve
+
+    rng = np.random.default_rng(11)
+    for _ in range(5):
+        gt = rng.normal(size=(2, 40, 3)).astype(np.float64)
+        # pred = noisy similarity transform of gt
+        ang = rng.uniform(0, np.pi)
+        c, s = np.cos(ang), np.sin(ang)
+        R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+        pred = 0.7 * gt @ R.T + rng.normal(scale=0.01, size=gt.shape) + [0.1, -0.2, 0.3]
+
+        host = pa_pve(pred, gt)
+
+        Rj, sj, tj = rigid_points_registration(
+            jnp.asarray(pred), jnp.asarray(gt))
+        aligned = (np.asarray(sj)[..., None, None]
+                   * np.einsum("...ij,...nj->...ni", np.asarray(Rj), pred)
+                   + np.asarray(tj)[..., None, :])
+        want = 1000.0 * np.linalg.norm(aligned - gt, axis=-1).mean(-1)
+        np.testing.assert_allclose(host, want, rtol=1e-4, atol=1e-3)
