@@ -10,11 +10,15 @@ Method: identical params, identical images, identical person slots — the
 detections are INJECTED via ``gt_det`` so both precisions regress the very
 same query cells and the measured delta is purely the backbone's precision
 (a thresholded detection path could pick different slots near ties, which
-would compare different people, not different arithmetic). Per valid slot,
-the fp32-backbone forward vs bf16-backbone forward v3d delta is reported
-raw (includes the exp-decoded camera distance, the most bf16-sensitive
-output) and pelvis-centered (the PVE the parity bar is defined on,
-reference train.py:373-385).
+would compare different people, not different arithmetic). The fp32
+reference side is a TRUE fp32-compute model (``compute_dtype="float32"``
+via dataclasses.replace — NOT merely fp32 param storage, which the module
+would silently cast to the config's bf16 compute dtype at use); both sides
+run the SAME transposed flash kernel so the delta is purely arithmetic
+dtype, not algorithm. Per valid slot, the fp32-backbone forward vs
+bf16-backbone forward v3d delta is reported raw (includes the exp-decoded
+camera distance, the most bf16-sensitive output) and pelvis-centered (the
+PVE the parity bar is defined on, reference train.py:373-385).
 
 Caveat: random init — real checkpoints have sharper feature distributions;
 this measures the architecture's precision conditioning, re-runnable on
@@ -50,14 +54,21 @@ DEFAULT_CONFIGS = (
 
 def run_config(name: str, n_images: int, n_seeds: int, n_persons: int,
                ckpt: str = None) -> dict:
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
+    from multihmr_tpu.config import named_config
     from multihmr_tpu.factory import build_model
     from multihmr_tpu.ops.detection import Detections
     from multihmr_tpu.utils.precision import cast_backbone_bf16
 
-    model, params0 = build_model(name, checkpoint=ckpt)
+    model, params0 = build_model(name, checkpoint=ckpt)   # production bf16
+    model32, _ = build_model(
+        name, cfg=dataclasses.replace(named_config(name),
+                                      compute_dtype="float32"),
+        checkpoint=ckpt)                                   # true-fp32 compute
     cfg = model.cfg
     S, g, Kcap = cfg.img_size, cfg.grid_size, cfg.max_people
     f = (S / 2.0) / np.tan(np.radians(60.0) / 2.0)
@@ -79,8 +90,13 @@ def run_config(name: str, n_images: int, n_seeds: int, n_persons: int,
         scores=jnp.asarray(valid), valid=jnp.asarray(valid),
     )
 
-    fwd = jax.jit(
+    fwd16 = jax.jit(
         lambda p, x: model.forward(
+            p, x, Kmat, is_training=True, gt_det=det, batch_mode="fused"
+        )
+    )
+    fwd32 = jax.jit(
+        lambda p, x: model32.forward(
             p, x, Kmat, is_training=True, gt_det=det, batch_mode="fused"
         )
     )
@@ -94,8 +110,8 @@ def run_config(name: str, n_images: int, n_seeds: int, n_persons: int,
             x = jax.random.normal(
                 jax.random.PRNGKey(1000 + seed * 100 + img), (1, S, S, 3),
                 jnp.float32)
-            out32 = fwd(params, x)
-            out16 = fwd(params_bf16, x)
+            out32 = fwd32(params, x)
+            out16 = fwd16(params_bf16, x)
             v32 = np.asarray(out32["v3d"][0, :n_persons], np.float64)
             v16 = np.asarray(out16["v3d"][0, :n_persons], np.float64)
             p32 = np.asarray(out32["transl_pelvis"][0, :n_persons], np.float64
