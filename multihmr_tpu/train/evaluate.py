@@ -138,7 +138,7 @@ def evaluate_dataset(
     visu_to_save: int = 0,
     visu_dir: str = "eval_visu",
     faces: Optional[np.ndarray] = None,
-    pipeline: bool = True,
+    pipeline: Optional[bool] = None,
 ) -> Dict[str, float]:
     """Run eval over a dataset yielding (image NHWC, annot dict).
 
@@ -151,13 +151,22 @@ def evaluate_dataset(
     TPU-native loop shape (vs the reference's strictly serial
     train.py:351-357): with ``pipeline=True`` image *i+1*'s forward is
     DISPATCHED before image *i*'s result is pulled back, so the device
-    computes while the host matches/scores — jax's async dispatch makes the
-    overlap free. Images with ``uint8`` dtype are normalized on-device
-    (4× fewer upload bytes — the upload, not compute, dominates a remote
-    link). ``results['timings']`` attributes the whole wall clock:
-    load / dispatch / wait / readback / gt / match_metrics / visu sum to
-    ~wall (the residue is loop overhead).
+    computes while the host matches/scores. ``pipeline=None`` (default)
+    auto-selects: pipelined only when there is real per-image host work to
+    hide (a ``gt_forward`` that runs a numpy LBS, or eval visualization);
+    for host-light datasets (EHF-style precomputed vertices: matching
+    measured 0.06 s over 100 images) dispatch-ahead was MEASURED SLOWER on
+    a remote-tunnel link — each readback queues behind the next in-flight
+    program (u8 wire, 100 images: serial 23.8 s vs pipelined 30.4 s,
+    BENCH_SWEEP.json eval_sweep; co-located the two are equal) — so the
+    auto policy picks the serial reference shape there. Images with
+    ``uint8`` dtype are normalized on-device (4× fewer upload bytes — the
+    upload, not compute, dominates a remote link). ``results['timings']``
+    attributes the whole wall clock: load / dispatch / wait / readback /
+    gt / match_metrics / visu sum to ~wall (the residue is loop overhead).
     """
+    if pipeline is None:  # auto: overlap only if there's host work to hide
+        pipeline = gt_forward is not None or visu_to_save > 0
     from multihmr_tpu.ops.image import IMG_NORM_MEAN, IMG_NORM_STD
 
     def body(p, x, K):

@@ -151,7 +151,7 @@ def main():
 
     results = evaluate_dataset(
         model, params, dataset, det_thresh=det_thresh,
-        gt_forward=gt_forward, log_every=0,
+        gt_forward=gt_forward, log_every=0, pipeline=True,
     )
     tm = results["timings"]
     wall = tm["wall"]
