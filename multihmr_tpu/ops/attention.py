@@ -186,14 +186,22 @@ def _choose_blocks(N, block_q, block_kv, pad_to):
 # limit via LIBTPU_INIT_ARGS measurably SLOWS the kernel — don't.)
 _STEP_BYTES = 6_500_000
 _BSUB_TARGET = 544  # swept on v5e: ~544-row sub-blocks overlap MXU/VPU best
-# Budget for the mono-kv upgrade's full [bq, Np] score tile (all sub-block
-# tiles live at once). 9.0 MB admits the chip-validated 8704×256 case
-# (8.91 MB, ran on v5e alongside the [64, 8704] k/v blocks) and nothing
-# meaningfully larger.
+# Budgets for the mono-kv upgrade. Two checks must BOTH hold:
+#  - the full [bq, Np] fp32 score tile (all sub-block tiles live at once)
+#    under _MONO_SCORE_BYTES — 9.0 MB admits the chip-validated bf16
+#    8704×256 case (8.91 MB, ran on v5e) and nothing meaningfully larger;
+#  - the whole working set — score tile PLUS the [D, Np] k/v stream
+#    blocks, which are DTYPE-sized and double-buffered by the DMA
+#    pipeline — under _MONO_TOTAL_BYTES. At bf16 this never binds (the
+#    score check is tighter), so every chip-validated bf16 decision is
+#    unchanged; at fp32 compute (the precision-fallback mode) the k/v
+#    bytes double and 8704×256 exceeds scoped VMEM (16.04 MB measured vs
+#    the 16 MB limit on v5e), so fp32 must take the multi-step walk.
 _MONO_SCORE_BYTES = 9_000_000
+_MONO_TOTAL_BYTES = 14_000_000
 
 
-def _mono_kv_upgrade(Np, bq, bkv, nsub, sub_align):
+def _mono_kv_upgrade(Np, bq, bkv, nsub, sub_align, esize=2, head_dim=64):
     """Single-kv-step rewrite of a multi-step choice, when it fits VMEM.
 
     Measured on v5e at the 1288² ViT shape (Np=8704, tools/sweep_tiling.py):
@@ -204,16 +212,22 @@ def _mono_kv_upgrade(Np, bq, bkv, nsub, sub_align):
     running-max correction per step and forfeits cross-sub MXU/VPU overlap
     at the step boundaries; a fitting mono step pays only a narrower
     q-block. Fires ONLY when the incoming choice is multi-step and a
-    bq ∈ {bq, bq/2, bq/4} keeps all sub-block score tiles (4·bq·Np bytes)
-    under _MONO_SCORE_BYTES — i.e. 672²/896² tilings are untouched. The
+    bq ∈ {bq, bq/2, bq/4} keeps the score tiles (4·bq·Np bytes) under
+    _MONO_SCORE_BYTES AND the whole working set — scores plus the
+    double-buffered dtype-sized k/v stream (2·2·esize·D·Np) — under
+    _MONO_TOTAL_BYTES. 672²/896² tilings are untouched, and fp32 compute
+    (``esize=4``, the precision-fallback mode) stays on the multi-step
+    walk at 8704 tokens instead of exceeding scoped VMEM by 42 KB. The
     sub-block count may exceed the multi-step path's n ≤ 16 cap (n = 17
     here): the kernel unrolls sub-blocks statically, so any divisor works.
     """
     if Np == bkv:
         return Np, bq, bkv, nsub
+    kv_bytes = 2 * 2 * esize * head_dim * Np
     for bq2 in (bq, bq // 2, bq // 4):
         if (bq2 < 256 or bq2 % 128 or Np % bq2
-                or 4 * bq2 * Np > _MONO_SCORE_BYTES):
+                or 4 * bq2 * Np > _MONO_SCORE_BYTES
+                or 4 * bq2 * Np + kv_bytes > _MONO_TOTAL_BYTES):
             continue
         cands = [n for n in range(1, Np // sub_align + 1)
                  if Np % (sub_align * n) == 0]
@@ -224,7 +238,7 @@ def _mono_kv_upgrade(Np, bq, bkv, nsub, sub_align):
 
 
 def _choose_fwd_blocks(N, block_q=None, block_kv=None, pad_to=None,
-                       sub_align=8):
+                       sub_align=8, esize=2, head_dim=64):
     """(Np, bq, bkv, nsub) for the forward kernel.
 
     Np: smallest lane-aligned padded length with a ≥256 q-block (attention
@@ -264,7 +278,8 @@ def _choose_fwd_blocks(N, block_q=None, block_kv=None, pad_to=None,
     # explicit overrides are respected — incl. block_q (a pinned q-block is
     # a tuning/VMEM request; the upgrade halves it, so it must not fire)
     if pad_to is None and not block_kv and block_q is None:
-        Np, bq, bkv, nsub = _mono_kv_upgrade(Np, bq, bkv, nsub, sub_align)
+        Np, bq, bkv, nsub = _mono_kv_upgrade(
+            Np, bq, bkv, nsub, sub_align, esize=esize, head_dim=head_dim)
     return Np, bq, bkv, nsub
 
 
@@ -292,7 +307,8 @@ def _flash_fwd_impl(
     B, H, N, D = q.shape
     if scale is None:
         scale = D ** -0.5
-    Np, bq, bkv, nsub = _choose_fwd_blocks(N, block_q, block_kv, pad_to)
+    Np, bq, bkv, nsub = _choose_fwd_blocks(N, block_q, block_kv, pad_to,
+                                           esize=q.dtype.itemsize, head_dim=D)
     # Fold scale + the exp→exp2 base change into q: one [N, D] multiply
     # instead of a per-score-tile [Np, Np] multiply inside the kernel.
     q = q * jnp.asarray(scale * _LOG2E, q.dtype)
@@ -483,7 +499,8 @@ def _flash_fwd_impl_t(q, k, v, scale=None, interpret=False, kv_len=None):
     prepadded = kv_len is not None and kv_len != N
     if kv_len is None:
         kv_len = N
-    Np, bq, bkv, nsub = _choose_fwd_blocks(kv_len, sub_align=128)
+    Np, bq, bkv, nsub = _choose_fwd_blocks(kv_len, sub_align=128,
+                                           esize=q.dtype.itemsize, head_dim=D)
     if prepadded:
         assert N == Np, (N, Np, kv_len)
     q = q * jnp.asarray(scale * _LOG2E, q.dtype)

@@ -61,6 +61,16 @@ def test_choose_fwd_blocks():
     # a length whose mono score tile exceeds the budget stays multi-step
     Np, bq, bkv, nsub = _choose_fwd_blocks(9300, sub_align=128)
     assert Np // bkv > 1 and bq * Np * 4 > _MONO_SCORE_BYTES
+    # fp32 compute (esize=4, the precision-fallback mode): the k/v stream
+    # bytes double, so the 8704-token mono tiling no longer fits scoped
+    # VMEM (measured 16.04 MB vs the 16 MB limit on v5e) — the chooser
+    # must fall back to the multi-step walk; bf16 (default) keeps mono
+    assert _choose_fwd_blocks(8465, esize=4)[:3] == (8704, 512, 2176)
+    Np, bq, bkv, nsub = _choose_fwd_blocks(8465, sub_align=128, esize=4)
+    assert (Np, bq, bkv) == (8704, 512, 2176) and bkv % 128 == 0
+    # fp32 at the 896_L shape is single-step regardless (no mono upgrade
+    # involved) — unchanged by esize
+    assert _choose_fwd_blocks(4097, esize=4)[:3] == (4224, 384, 4224)
     # an EXPLICIT block_q pins the q-block: the mono-kv upgrade must not
     # silently halve it (tuning sweeps / VMEM-bounding callers rely on this)
     Np, bq, bkv, nsub = _choose_fwd_blocks(8465, block_q=512)
