@@ -222,6 +222,65 @@ def test_bf16_param_cast_matches_fp32():
     )
 
 
+def test_bf16_sensitivity_envelope():
+    """Pin the bf16-backbone sensitivity bound (VERDICT r4 #5; the on-chip
+    study is tools/bf16_sensitivity.py, results in BENCH_SWEEP.json and
+    BASELINE.md). Same method at tiny scale: identical params and INJECTED
+    detections (both precisions regress the same query slots), true
+    fp32-compute model vs the production bf16 backbone. The pelvis-centered
+    v3d delta must be (a) nonzero — compute_dtype actually engages the
+    backbone, so the study never silently compares identical programs —
+    and (b) inside a loose envelope (measured ~0.5 mm p50 on this config;
+    production ViT-L depth amplifies to ~20 mm p50 at random init). A blown
+    envelope means the precision policy leaked bf16 into the fp32 geometry
+    path or the fp32-compute fallback stopped being fp32."""
+    import dataclasses
+
+    from multihmr_tpu.ops.detection import Detections
+    from multihmr_tpu.utils.precision import cast_backbone_bf16
+
+    cfg16 = TinyConfig(
+        img_size=56, max_people=4, person_center="j5", compute_dtype="bfloat16"
+    )
+    cfg32 = dataclasses.replace(cfg16, compute_dtype="float32")
+    bm = synthetic_body_model()
+    names = [f"j{i}" for i in range(bm.num_output_joints)]
+    m16 = MultiHMR(cfg16, bm, person_center_joint_names=names)
+    m32 = MultiHMR(cfg32, bm, person_center_joint_names=names)
+    S, g, Kcap = 56, m16.cfg.grid_size, 4
+    rows = np.zeros((1, Kcap), np.int32)
+    cols = np.zeros((1, Kcap), np.int32)
+    val = np.zeros((1, Kcap), np.float32)
+    for i, c in enumerate((g * g // 4, g * g // 2, g * g // 2 + 3)):
+        rows[0, i], cols[0, i], val[0, i] = c // g, c % g, 1.0
+    det = Detections(
+        rows=jnp.asarray(rows), cols=jnp.asarray(cols),
+        scores=jnp.asarray(val), valid=jnp.asarray(val),
+    )
+    K = jnp.asarray([[[100.0, 0, S / 2], [0, 100.0, S / 2], [0, 0, 1.0]]])
+    deltas = []
+    for seed in range(2):
+        p = m16.init_params(jax.random.PRNGKey(seed))
+        x = jax.random.normal(jax.random.PRNGKey(100 + seed), (1, S, S, 3))
+        o32 = m32.forward(p, x, K, is_training=True, gt_det=det)
+        o16 = m16.forward(cast_backbone_bf16(p), x, K,
+                          is_training=True, gt_det=det)
+        # geometry outputs are fp32 under BOTH compute dtypes (the policy:
+        # bf16 stops at the backbone; HPH/SMPL-X always run fp32)
+        assert o16["v3d"].dtype == o32["v3d"].dtype == jnp.float32
+        v32 = np.asarray(o32["v3d"][0, :3], np.float64)
+        v16 = np.asarray(o16["v3d"][0, :3], np.float64)
+        c32 = np.asarray(o32["transl_pelvis"][0, :3], np.float64)
+        c16 = np.asarray(o16["transl_pelvis"][0, :3], np.float64)
+        cen = 1000.0 * np.linalg.norm(
+            (v32 - c32.reshape(3, 1, 3)) - (v16 - c16.reshape(3, 1, 3)),
+            axis=-1).mean(-1)
+        deltas.extend(cen.tolist())
+    p50 = float(np.percentile(deltas, 50))
+    assert 0.01 < p50 < 5.0, deltas
+    assert max(deltas) < 20.0, deltas
+
+
 def test_batch_map_matches_fused():
     """``batch_mode="map"`` (lax.map of the batch-1 body, the single-device
     batch>1 execution strategy) must produce the same outputs as the fused
