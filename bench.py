@@ -148,6 +148,18 @@ def main():
         print(f"# {key}: {msb:.2f} ms/img", file=sys.stderr)
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "BENCH_SWEEP.json")
+    # Merge-preserve: entries measured by OTHER tools (serve_*, eval_sweep_*,
+    # bf16_sensitivity, k_capacity, ...) live in the same file; a model-sweep
+    # re-run must refresh the model rows without dropping them (round-4's
+    # README/SWEEP inconsistency came from exactly this overwrite).
+    if os.path.exists(out):
+        try:
+            with open(out) as f:
+                prior = json.load(f).get("results", {})
+            for k, v in prior.items():
+                results.setdefault(k, v)
+        except (json.JSONDecodeError, OSError):
+            pass
     with open(out, "w") as f:
         json.dump({"device": jax.devices()[0].device_kind,
                    "method": "two-length-slope",
