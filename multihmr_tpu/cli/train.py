@@ -28,16 +28,20 @@ def build_argparser():
     p.add_argument("--num_betas", type=int, default=10)
     p.add_argument("--max_people", type=int, default=16)
     p.add_argument(
-        "--remat", type=int, default=0,
-        help="rematerialize ViT activations in the backward pass "
-        "(needed for ViT-L at 896²+ batches)",
+        "--remat", type=str, default="auto", choices=["auto", "0", "1"],
+        help="rematerialize ViT activations in the backward pass. 'auto' "
+        "(default) picks the fastest level whose estimated HBM footprint "
+        "fits the chip (train/memory.py — no remat at 896² batch-1, 'mlp' "
+        "at 1288², 'block' beyond); '0'/'1' force it off/on",
     )
     p.add_argument(
-        "--remat_policy", type=str, default="mlp", choices=["block", "mlp"],
-        help="'mlp' (default) recomputes only the fc1 hidden state — the "
-        "backward never re-runs the flash-attention forward (measured 10-16%% "
-        "faster steps than 'block' at 896²/1288²); 'block' is full-block "
-        "remat for when memory is the binding constraint",
+        "--remat_policy", type=str, default=None, choices=["block", "mlp"],
+        help="'mlp' recomputes only the fc1 hidden state — the backward "
+        "never re-runs the flash-attention forward (measured 10-16%% faster "
+        "steps than 'block' at 896²/1288²); 'block' is full-block remat for "
+        "when memory is the binding constraint. With --remat auto, a pinned "
+        "policy restricts auto's choice to {{off, that policy}}; with "
+        "--remat 1 the default is 'mlp'",
     )
     # data
     p.add_argument("--trainset", type=str, default="bedlam")
@@ -120,9 +124,27 @@ def main():
         person_center=args.person_center,
         num_betas=args.num_betas,
         max_people=args.max_people,
-        remat=bool(args.remat),
-        remat_policy=args.remat_policy,
     )
+    # Resolve the remat level against the PER-DEVICE batch (the stash the
+    # chip actually holds under data parallelism).
+    n_dev = args.n_devices or len(jax.devices())
+    data_size = (
+        n_dev // args.model_parallel
+        if (n_dev > 1 or args.model_parallel > 1 or args.fsdp) else 1
+    )
+    from multihmr_tpu.train.memory import resolve_remat_flags
+
+    remat, policy, report = resolve_remat_flags(
+        args.remat, args.remat_policy, cfg,
+        max(1, args.batch_size // max(1, data_size)),
+    )
+    if report is not None:
+        print(
+            f"remat auto: estimates {report['estimates_gb']} GB vs "
+            f"{report['budget_bytes'] / 1e9:.1f} GB budget -> "
+            f"{'remat=' + policy if remat else 'no remat'}"
+        )
+    cfg = dataclasses.replace(cfg, remat=remat, remat_policy=policy)
     bm, real = load_body_model(cfg.num_betas)
     # GT targets run through an 11-beta neutral SMPL-X like the reference
     # (train.py:41-43, 99-110), independent of the model's num_betas.
@@ -130,13 +152,11 @@ def main():
     if not real:
         print("WARNING: SMPL-X assets not found — using the synthetic body model")
 
-    n_dev = args.n_devices or len(jax.devices())
     mesh = None
     if n_dev > 1 or args.model_parallel > 1 or args.fsdp:
         from multihmr_tpu.parallel import make_mesh
 
         assert n_dev % args.model_parallel == 0, (n_dev, args.model_parallel)
-        data_size = n_dev // args.model_parallel
         assert args.batch_size % data_size == 0, (
             f"batch_size {args.batch_size} must divide over the data axis "
             f"({data_size})"

@@ -8,3 +8,4 @@ from multihmr_tpu.train.metrics import (  # noqa: F401
     AverageMeter,
 )
 from multihmr_tpu.train.evaluate import evaluate_dataset, make_smplx_gt_forward  # noqa: F401
+from multihmr_tpu.train.memory import choose_remat, estimate_train_hbm_bytes  # noqa: F401
