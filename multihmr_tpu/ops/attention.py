@@ -803,11 +803,22 @@ def _bwd_fused_kernel_t(
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-def _choose_bwd_blocks(N):
+def _choose_bwd_blocks(N, block_q=None, block_kv=None):
     """(Np, bq, bkv) for the transposed backward: bkv rides the LANE dim of
     the k/v/do blocks so it must be a multiple of 128; bounded by the fp32
-    [bkv, bq] tile budget (three such tiles live per step)."""
+    [bkv, bq] tile budget (three such tiles live per step).
+
+    ``block_q``/``block_kv`` pin the blocks (tools/sweep_bwd_tiling.py's
+    search surface) — each must be a 128-multiple dividing the padded
+    length; the VMEM budget then falls on the caller.
+    """
     Np, bq = _pad_and_block(N, 512)
+    if block_q is not None:
+        assert block_q % 128 == 0 and Np % block_q == 0, (N, Np, block_q)
+        bq = block_q
+    if block_kv is not None:
+        assert block_kv % 128 == 0 and Np % block_kv == 0, (N, Np, block_kv)
+        return Np, bq, block_kv
     cap = max(_STEP_BYTES // (4 * bq), 128)
     bkv = bq if Np % bq == 0 else Np
     for b in range(128, min(Np, cap) + 1, 128):
@@ -817,10 +828,11 @@ def _choose_bwd_blocks(N):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "interpret", "kv_len", "fused")
+    jax.jit, static_argnames=("scale", "interpret", "kv_len", "fused",
+                              "block_q", "block_kv")
 )
 def _flash_bwd_impl_t(q, k, v, o, lse, do, scale=None, interpret=False,
-                      kv_len=None, fused=True):
+                      kv_len=None, fused=True, block_q=None, block_kv=None):
     """Flash-attention backward, channels-major ``[B, H, Dh, N]`` in/out.
 
     O(N·block) memory, no [N, N] materialization (the round-1 XLA backward
@@ -847,7 +859,8 @@ def _flash_bwd_impl_t(q, k, v, o, lse, do, scale=None, interpret=False,
     prepadded = kv_len is not None and kv_len != N
     if kv_len is None:
         kv_len = N
-    Np, bq, bkv = _choose_bwd_blocks(kv_len)
+    Np, bq, bkv = _choose_bwd_blocks(kv_len, block_q=block_q,
+                                     block_kv=block_kv)
     if prepadded:
         assert N == Np, (N, Np, kv_len)
     dd = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=2)  # [B,H,N]

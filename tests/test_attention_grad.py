@@ -183,3 +183,24 @@ def test_bwd_fused_matches_two_pass(rng, N):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-5, err_msg=name
         )
+
+
+def test_bwd_block_overrides_match_default(rng):
+    """Pinned (block_q, block_kv) tilings — the sweep surface of
+    tools/sweep_bwd_tiling.py — must be pure performance knobs: identical
+    gradients to the default chooser for every legal tiling."""
+    B, H, D, N = 1, 2, 32, 512
+    q, k, v, do = [
+        jnp.asarray(rng.normal(size=(B, H, D, N)).astype(np.float32))
+        for _ in range(4)
+    ]
+    o, lse = A._flash_fwd_impl_t(q, k, v, interpret=True)
+    base = A._flash_bwd_impl_t(q, k, v, o, lse, do, interpret=True)
+    for bq, bkv in [(128, 512), (256, 256), (512, 128)]:
+        alt = A._flash_bwd_impl_t(q, k, v, o, lse, do, interpret=True,
+                                  block_q=bq, block_kv=bkv)
+        for a, b, name in zip(base, alt, ("dq", "dk", "dv")):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-5,
+                err_msg=f"{name} @ bq={bq} bkv={bkv}",
+            )
