@@ -50,6 +50,16 @@ def build_argparser():
     p.add_argument("--iter_per_epoch", type=int, default=1000)
     p.add_argument("--n_epoch", type=int, default=100)
     p.add_argument("--subsample", type=int, default=1)
+    p.add_argument(
+        "--train_n", type=int, default=-1,
+        help="truncate the train set to its first N images — 'for "
+        "debugging purpose only' (reference train.py:536,553)",
+    )
+    p.add_argument(
+        "--val_n", type=int, default=-1,
+        help="truncate the val set to its first N images (reference "
+        "train.py:504,556)",
+    )
     # optim (reference train.py:514,570)
     p.add_argument("--lr", type=float, default=5e-6)
     p.add_argument(
@@ -211,12 +221,14 @@ def main():
         if args.valset == "ehf":
             from multihmr_tpu.data.ehf import EHF
 
-            ds = EHF(img_size=cfg.img_size)
+            ds = EHF(img_size=cfg.img_size, n=args.val_n,
+                     subsample=args.subsample)
             res = evaluate_dataset(eval_model, params, ds)
         elif args.valset == "3dpw":
             from multihmr_tpu.data.threedpw import THREEDPW
 
-            ds = THREEDPW(img_size=cfg.img_size, subsample=args.subsample)
+            ds = THREEDPW(img_size=cfg.img_size, n=args.val_n,
+                          subsample=args.subsample)
             res = evaluate_dataset(eval_model, params, ds)
         else:
             raise ValueError(args.valset)
@@ -234,7 +246,7 @@ def main():
 
     trainset = BEDLAM(
         split="training", training=True, img_size=cfg.img_size,
-        n_iter=args.batch_size * args.iter_per_epoch,
+        n_iter=args.batch_size * args.iter_per_epoch, n=args.train_n,
     )
 
     def data_iter():

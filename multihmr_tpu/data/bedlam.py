@@ -64,6 +64,7 @@ class BEDLAM:
         annotations_dir: str = "data",
         flip: bool = True,
         n_iter: Optional[int] = None,
+        n: int = -1,
         subsample: int = 1,
         force_build_dataset: bool = False,
         seed: Optional[int] = None,
@@ -83,6 +84,11 @@ class BEDLAM:
             with open(self.annot_file, "rb") as f:
                 self.annots = pickle.load(f)
         self.imagenames = sorted(self.annots.keys())
+        # Truncation-then-subsample order matches the reference
+        # (datasets/bedlam.py:83-87; n is the --train_n/--val_n
+        # "debugging purpose only" flag, train.py:553,556).
+        if n >= 0:
+            self.imagenames = self.imagenames[:n]
         if subsample > 1:
             self.imagenames = self.imagenames[::subsample]
 

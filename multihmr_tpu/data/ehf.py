@@ -49,6 +49,8 @@ class EHF:
         root_dir: str = "data/EHF",
         annotations_dir: str = "data",
         force_build_dataset: bool = False,
+        n: int = -1,
+        subsample: int = 1,
     ):
         assert split == "test"
         self.split = split
@@ -61,6 +63,13 @@ class EHF:
             with open(self.annot_file, "rb") as f:
                 self.annots = pickle.load(f)
         self.imagenames = sorted(self.annots.keys())
+        # The reference EHF swallows n/subsample via **kwargs
+        # (datasets/ehf.py:32); we honor them — same debugging knob the
+        # driver passes every val set (train.py:503-504).
+        if n >= 0:
+            self.imagenames = self.imagenames[:n]
+        if subsample > 1:
+            self.imagenames = self.imagenames[::subsample]
 
     def build_dataset(self) -> dict:
         R = _rotvec_to_rotmat_np(EHF_CAM_ROTVEC)

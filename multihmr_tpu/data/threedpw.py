@@ -25,6 +25,7 @@ class THREEDPW:
         annotations_dir: str = "data",
         smpl_dir: str = "models",
         force_build_dataset: bool = False,
+        n: int = -1,
         subsample: int = 1,
     ):
         assert split == "test"
@@ -40,6 +41,11 @@ class THREEDPW:
             with open(self.annot_file, "rb") as f:
                 self.annots = pickle.load(f)
         self.imagenames = sorted(self.annots.keys())
+        # n-truncation before subsample, matching the reference BEDLAM
+        # order (datasets/bedlam.py:83-87); the reference THREEDPW swallows
+        # n via **kwargs (datasets/threedpw.py:32) — we honor it.
+        if n >= 0:
+            self.imagenames = self.imagenames[:n]
         if subsample > 1:
             self.imagenames = self.imagenames[::subsample]
 

@@ -71,6 +71,10 @@ def test_ehf_dataset_end_to_end(tmp_path, rng):
     # reload from pickle (no rebuild)
     ds2 = EHF(img_size=64, root_dir=str(root), annotations_dir=str(tmp_path / "annot"))
     assert ds2.imagenames == ds.imagenames
+    # --val_n truncation (reference train.py:504 passes n= to every val set)
+    ds_n = EHF(img_size=64, root_dir=str(root),
+               annotations_dir=str(tmp_path / "annot"), n=1)
+    assert ds_n.imagenames == ds.imagenames[:1]
 
 
 def test_threedpw_dataset_end_to_end(tmp_path, rng):
@@ -206,6 +210,19 @@ def test_bedlam_dataset_end_to_end(tmp_path, rng):
     x2, annot2 = ds_train[0]
     assert x2.shape == (56, 56, 3)
     assert len(annot2["humans"]) <= n_person  # z>0.01 filter
+    # --train_n/--val_n truncation (reference train.py:504,536,553,556;
+    # applied before subsample, datasets/bedlam.py:83-87)
+    ds_n = BEDLAM(
+        split="training", training=False, img_size=56,
+        root_dir=str(root), annotations_dir=str(tmp_path / "annots"), n=1,
+    )
+    assert ds_n.imagenames == ds.imagenames[:1]
+    ds_n0 = BEDLAM(
+        split="training", training=False, img_size=56,
+        root_dir=str(root), annotations_dir=str(tmp_path / "annots"),
+        n=-1, subsample=2,
+    )
+    assert ds_n0.imagenames == ds.imagenames[::2]
 
 
 def test_create_jpeg_walks_and_resizes(tmp_path, rng):
