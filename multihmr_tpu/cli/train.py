@@ -45,20 +45,76 @@ def build_argparser():
     )
     # data
     p.add_argument("--trainset", type=str, default="bedlam")
-    p.add_argument("--valset", type=str, default="ehf")
+    p.add_argument(
+        "--valset", type=str, nargs="+", default=["ehf"],
+        choices=("bedlam", "ehf", "3dpw"),
+        help="val dataset(s) evaluated each epoch — the reference default "
+        "is all three: BEDLAM-validation EHF-test 3DPW-test "
+        "(--val_data/--val_split, train.py:554-555)",
+    )
+    p.add_argument(
+        "--val_split", type=str, nargs="+", default=None,
+        help="per-valset split (default: 'validation' for bedlam, 'test' "
+        "otherwise — the reference defaults, train.py:555)",
+    )
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--iter_per_epoch", type=int, default=1000)
     p.add_argument("--n_epoch", type=int, default=100)
+    p.add_argument(
+        "--max_iter", type=int, default=0,
+        help="when >0, run max_iter // iter_per_epoch epochs instead of "
+        "--n_epoch (reference train.py:568,590)",
+    )
     p.add_argument("--subsample", type=int, default=1)
+    p.add_argument(
+        "--train_subsample", type=int, default=1,
+        help="train-set subsampling stride (reference train.py:562)",
+    )
+    p.add_argument(
+        "--extension", type=str, default="png", choices=("png", "jpg"),
+        help="train-image extension; 'jpg' reads the create_jpeg siblings "
+        "(reference train.py:576, datasets/bedlam.py:62-78)",
+    )
+    p.add_argument(
+        "--res", type=int, default=None,
+        help="resolution suffix of the jpg siblings — any size create_jpeg "
+        "produced (the reference restricts to 512/1280, train.py:577)",
+    )
+    p.add_argument(
+        "--val_subsample", type=int, nargs="+", default=None,
+        help="per-valset subsampling stride for fast evaluation (reference "
+        "train.py:557 defaults 25/1/20 for BEDLAM/EHF/3DPW); default: "
+        "--subsample for every valset",
+    )
     p.add_argument(
         "--train_n", type=int, default=-1,
         help="truncate the train set to its first N images — 'for "
         "debugging purpose only' (reference train.py:536,553)",
     )
     p.add_argument(
-        "--val_n", type=int, default=-1,
-        help="truncate the val set to its first N images (reference "
+        "--val_n", type=int, nargs="+", default=[-1],
+        help="per-valset truncation to the first N images (reference "
         "train.py:504,556)",
+    )
+    p.add_argument(
+        "--amp", type=int, default=1, choices=(0, 1),
+        help="1 = bf16 compute in the backbone — the TPU analogue of the "
+        "reference's fp16 autocast (train.py:569,293-305); 0 = full fp32 "
+        "compute, the chip-validated fallback when the bf16 vertex delta "
+        "matters (BASELINE.md bf16-sensitivity study)",
+    )
+    # eval knobs inside training (reference train.py:357,441,575,579-580)
+    p.add_argument("--det_thresh", type=float, default=0.2)
+    p.add_argument("--nms_kernel_size", type=int, default=3)
+    p.add_argument(
+        "--visu_to_save", type=int, default=0,
+        help="save [img|pred|GT] triptychs for the first N eval images "
+        "under logdir/name (reference train.py:441-469)",
+    )
+    p.add_argument(
+        "--log_freq", type=int, default=100,
+        help="progress-print period, in eval images (reference "
+        "train.py:320,432,567)",
     )
     # optim (reference train.py:514,570)
     p.add_argument("--lr", type=float, default=5e-6)
@@ -134,6 +190,7 @@ def main():
         person_center=args.person_center,
         num_betas=args.num_betas,
         max_people=args.max_people,
+        compute_dtype="bfloat16" if args.amp else "float32",
     )
     # Resolve the remat level against the PER-DEVICE batch (the stash the
     # chip actually holds under data parallelism).
@@ -215,28 +272,90 @@ def main():
     # sharding constraint.
     eval_model = model if mesh is None else MultiHMR(cfg, bm)
 
+    # Per-valset knob broadcasting (reference train.py:498 asserts equal
+    # lengths; a single value here broadcasts to every valset).
+    valsets = list(args.valset)
+
+    def _per_set(v, default):
+        vals = [default] * len(valsets) if v is None else list(v)
+        if len(vals) == 1 and len(valsets) > 1:
+            vals = vals * len(valsets)
+        assert len(vals) == len(valsets), (
+            f"need one value per valset {valsets}, got {vals}")
+        return vals
+
+    val_split = _per_set(args.val_split, None)
+    val_n = _per_set(args.val_n, -1)
+    val_sub = _per_set(args.val_subsample, args.subsample)
+
     def run_eval(params, epoch):
         if mesh is not None:
             params = jax.device_get(params)
-        if args.valset == "ehf":
-            from multihmr_tpu.data.ehf import EHF
+        all_res = {}
+        for vi, vname in enumerate(valsets):
+            gt_fwd, eval_kw = None, {}
+            if vname == "ehf":
+                from multihmr_tpu.data.ehf import EHF
 
-            ds = EHF(img_size=cfg.img_size, n=args.val_n,
-                     subsample=args.subsample)
-            res = evaluate_dataset(eval_model, params, ds)
-        elif args.valset == "3dpw":
-            from multihmr_tpu.data.threedpw import THREEDPW
+                split = val_split[vi] or "test"
+                ds = EHF(img_size=cfg.img_size, split=split,
+                         n=val_n[vi], subsample=val_sub[vi])
+            elif vname == "3dpw":
+                from multihmr_tpu.data.threedpw import THREEDPW
+                from multihmr_tpu.bodymodel.assets import (
+                    load_smplx2smpl, load_j_regressor_h36m)
+                from multihmr_tpu.factory import SMPLX_DIR
 
-            ds = THREEDPW(img_size=cfg.img_size, n=args.val_n,
-                          subsample=args.subsample)
-            res = evaluate_dataset(eval_model, params, ds)
-        else:
-            raise ValueError(args.valset)
-        logger.scalars(  # scalars only — 'timings' is a nested phase dict
-            {k: v for k, v in res.items() if isinstance(v, (int, float))},
-            epoch, prefix=f"{args.valset}-test-{args.subsample}/")
-        print(f"eval[{args.valset}] epoch {epoch}: {res}")
-        return res
+                split = val_split[vi] or "test"
+                ds = THREEDPW(img_size=cfg.img_size, split=split,
+                              n=val_n[vi], subsample=val_sub[vi])
+                # SMPL-topology PVE + H36M MPJPE when the assets exist
+                # (reference train.py:44-45,383-429)
+                s2s = os.path.join(SMPLX_DIR, "smplx2smpl.pkl")
+                jr = os.path.join(SMPLX_DIR, "J_regressor_h36m.npy")
+                if os.path.isfile(s2s) and os.path.isfile(jr):
+                    eval_kw = {
+                        "smplx2smpl": load_smplx2smpl(s2s),
+                        "J_regressor_h36m": load_j_regressor_h36m(jr),
+                    }
+                else:
+                    print(f"3dpw eval: {s2s} / {jr} not found — "
+                          "reporting SMPL-X-topology PVE, no MPJPE")
+            elif vname == "bedlam":
+                from multihmr_tpu.data.bedlam import BEDLAM
+                from multihmr_tpu.train.evaluate import make_smplx_gt_forward
+
+                split = val_split[vi] or "validation"
+                ds = BEDLAM(split=split, training=False,
+                            img_size=cfg.img_size,
+                            n=val_n[vi], subsample=val_sub[vi])
+                # GT meshes from the stored SMPL-X params through the same
+                # 11-beta neutral layer as training (reference train.py:41-43)
+                gt_fwd = make_smplx_gt_forward(
+                    gt_bm, num_betas=11, capacity=cfg.max_people)
+            else:  # unreachable: argparse choices
+                raise ValueError(vname)
+            res = evaluate_dataset(
+                eval_model, params, ds,
+                det_thresh=args.det_thresh,
+                nms_kernel_size=args.nms_kernel_size,
+                gt_forward=gt_fwd,
+                log_every=args.log_freq,
+                visu_to_save=args.visu_to_save,
+                visu_dir=os.path.join(args.logdir, args.name,
+                                      f"visu_{vname}"),
+                faces=(np.asarray(bm.faces)
+                       if args.visu_to_save > 0 else None),
+                **eval_kw,
+            )
+            # reference tag shape: {name}-{split}-{subsample}/{metric}
+            # (train.py:477-479)
+            logger.scalars(  # scalars only — 'timings' is a nested dict
+                {k: v for k, v in res.items() if isinstance(v, (int, float))},
+                epoch, prefix=f"{vname}-{split}-{val_sub[vi]}/")
+            print(f"eval[{vname}-{split}] epoch {epoch}: {res}")
+            all_res[vname] = res
+        return all_res if len(valsets) > 1 else all_res[valsets[0]]
 
     if args.eval_only:
         run_eval(params, 0)
@@ -247,6 +366,8 @@ def main():
     trainset = BEDLAM(
         split="training", training=True, img_size=cfg.img_size,
         n_iter=args.batch_size * args.iter_per_epoch, n=args.train_n,
+        subsample=args.train_subsample,
+        extension=args.extension, res=args.res,
     )
 
     def data_iter():
@@ -299,7 +420,11 @@ def main():
             params, opt_state, start_epoch = restored
             print(f"--resume: restored epoch {start_epoch - 1}, "
                   f"continuing at epoch {start_epoch}")
-    trainer.fit(params, data_iter, epochs=args.n_epoch, eval_fn=run_eval,
+    # --max_iter caps total optimizer steps via the epoch count
+    # (reference train.py:590: max_epochs = max_iter // n_iters_per_epoch)
+    epochs = (args.max_iter // args.iter_per_epoch
+              if args.max_iter > 0 else args.n_epoch)
+    trainer.fit(params, data_iter, epochs=epochs, eval_fn=run_eval,
                 start_epoch=start_epoch, opt_state=opt_state)
 
 

@@ -66,6 +66,8 @@ class BEDLAM:
         n_iter: Optional[int] = None,
         n: int = -1,
         subsample: int = 1,
+        extension: str = "png",
+        res: Optional[int] = None,
         force_build_dataset: bool = False,
         seed: Optional[int] = None,
     ):
@@ -83,6 +85,16 @@ class BEDLAM:
         else:
             with open(self.annot_file, "rb") as f:
                 self.annots = pickle.load(f)
+        # JPEG mode: remap annot keys to the ``create_jpeg`` siblings
+        # (reference datasets/bedlam.py:62-78 — BEDLAM ships 1280×720 PNGs,
+        # training reads the smaller JPEGs; K is untouched because contain()
+        # rescales to img_size from the original aspect either way).
+        assert extension in ("png", "jpg"), extension
+        if extension == "jpg":
+            self.annots = {
+                (k[:-3] + "jpg" if res is None else k[:-4] + f"_{res}.jpg"): v
+                for k, v in self.annots.items()
+            }
         self.imagenames = sorted(self.annots.keys())
         # Truncation-then-subsample order matches the reference
         # (datasets/bedlam.py:83-87; n is the --train_n/--val_n

@@ -16,17 +16,17 @@ import sys
 import numpy as np
 
 
-def _write_bedlam(root, rng):
+def _write_bedlam(root, rng, split="training"):
     from PIL import Image
 
     seq = "seq0"
-    (root / "training" / seq / "png").mkdir(parents=True)
-    (root / "all_npz_12_training").mkdir(parents=True)
+    (root / split / seq / "png").mkdir(parents=True)
+    (root / f"all_npz_12_{split}").mkdir(parents=True)
     n_person, n_img = 2, 2
     rows = n_person * n_img
     imgnames = np.array([f"im{i}.png" for i in range(n_img) for _ in range(n_person)])
     np.savez(
-        root / "all_npz_12_training" / f"{seq}.npz",
+        root / f"all_npz_12_{split}" / f"{seq}.npz",
         pose_cam=rng.normal(scale=0.2, size=(rows, 165)).astype(np.float32),
         cam_int=np.tile(np.array([[500.0, 0, 80], [0, 500, 60], [0, 0, 1]]), (rows, 1, 1)),
         cam_ext=np.tile(np.eye(4), (rows, 1, 1)),
@@ -37,7 +37,7 @@ def _write_bedlam(root, rng):
     for i in range(n_img):
         Image.fromarray(
             rng.integers(0, 255, size=(120, 160, 3), dtype=np.uint8)
-        ).save(root / "training" / seq / "png" / f"im{i}.png")
+        ).save(root / split / seq / "png" / f"im{i}.png")
 
 
 def _write_ehf(root, rng):
@@ -62,6 +62,7 @@ def _write_ehf(root, rng):
 def test_train_cli_end_to_end(tmp_path, monkeypatch, capsys):
     rng = np.random.default_rng(0)
     _write_bedlam(tmp_path / "data" / "BEDLAM", rng)
+    _write_bedlam(tmp_path / "data" / "BEDLAM", rng, split="validation")
     _write_ehf(tmp_path / "data" / "EHF", rng)
     monkeypatch.chdir(tmp_path)
     monkeypatch.setattr(
@@ -71,7 +72,11 @@ def test_train_cli_end_to_end(tmp_path, monkeypatch, capsys):
          "--xat_depth", "1", "--max_people", "4",
          "--batch_size", "2", "--iter_per_epoch", "2", "--n_epoch", "1",
          "--n_devices", "1",
-         "--valset", "ehf", "--lr", "1e-5",
+         # reference-style multi-valset eval (train.py:497-513): BEDLAM's
+         # validation split through the params→mesh GT forward, plus EHF;
+         # per-set truncation exercises --val_n broadcasting
+         "--valset", "bedlam", "ehf", "--val_n", "2", "1",
+         "--visu_to_save", "1", "--lr", "1e-5",
          "--name", "itest", "--logdir", "logs", "--ckptdir", "ckpts"],
     )
     from multihmr_tpu.cli.train import main
@@ -83,8 +88,15 @@ def test_train_cli_end_to_end(tmp_path, monkeypatch, capsys):
     # one epoch trained with a finite mean loss
     assert "epoch 0: mean loss" in out and "nan" not in out.lower().split(
         "epoch 0: mean loss")[1][:40]
-    # epoch-end eval ran over the EHF fixture
-    assert "eval[ehf] epoch 0" in out
+    # epoch-end eval ran over BOTH valsets, with EHF truncated by --val_n
+    assert "eval[bedlam-validation] epoch 0" in out
+    assert "eval[ehf-test] epoch 0" in out
+    assert "'n_images': 1" in out.split("eval[ehf-test]")[1][:400]
+    # --visu_to_save wrote an [img|pred|GT] triptych per valset
+    assert os.path.isfile(
+        os.path.join("logs", "itest", "visu_bedlam", "eval_0000.png"))
+    assert os.path.isfile(
+        os.path.join("logs", "itest", "visu_ehf", "eval_0000.png"))
     # a model checkpoint and the full resumable train state were written
     ckpt_dir = os.path.join("ckpts", "itest")
     names = os.listdir(ckpt_dir)
@@ -106,12 +118,15 @@ def test_train_cli_eval_only(tmp_path, monkeypatch, capsys):
          "--backbone", "dinov2_vits14", "--img_size", "56",
          "--xat_depth", "1", "--max_people", "4",
          "--n_devices", "1",
-         "--valset", "ehf", "--eval_only", "1", "--name", "itest-eval"],
+         # --amp 0 drives the full-fp32-compute fallback (reference --amp,
+         # train.py:569) through the whole eval path
+         "--valset", "ehf", "--eval_only", "1", "--amp", "0",
+         "--name", "itest-eval"],
     )
     from multihmr_tpu.cli.train import main
 
     main()
     out = capsys.readouterr().out
-    assert "eval[ehf] epoch 0" in out
+    assert "eval[ehf-test] epoch 0" in out
     # PVE metrics present in the eval dict repr
     assert "pve" in out

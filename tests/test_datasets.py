@@ -1,6 +1,7 @@
 """Dataset classes exercised end-to-end on synthetic fixture files
 (PLY meshes + PNGs + sequence pkls written to tmp dirs)."""
 
+import os
 import pickle
 
 import numpy as np
@@ -223,6 +224,22 @@ def test_bedlam_dataset_end_to_end(tmp_path, rng):
         n=-1, subsample=2,
     )
     assert ds_n0.imagenames == ds.imagenames[::2]
+    # extension='jpg' reads the create_jpeg siblings under remapped keys
+    # (reference datasets/bedlam.py:62-78 + :449-485)
+    from multihmr_tpu.cli.data import create_jpeg
+
+    assert create_jpeg(str(root / "training"), target_size=48) == n_img
+    ds_jpg = BEDLAM(
+        split="training", training=False, img_size=56,
+        root_dir=str(root), annotations_dir=str(tmp_path / "annots"),
+        extension="jpg", res=48,
+    )
+    assert [os.path.basename(p) for p in ds_jpg.imagenames] == [
+        f"im{i}_48.jpg" for i in range(n_img)
+    ]
+    xj, annot_j = ds_jpg[0]
+    assert xj.shape == (56, 56, 3)
+    assert len(annot_j["humans"]) == n_person
 
 
 def test_create_jpeg_walks_and_resizes(tmp_path, rng):
