@@ -410,6 +410,7 @@ def main():
         gt_body_model=gt_bm,
         mesh=mesh,
         fsdp=bool(args.fsdp),
+        log_every_steps=args.log_freq,
     )
     start_epoch, opt_state = 0, None
     if args.resume:

@@ -222,6 +222,12 @@ class Trainer:
     # bounds dispatch runahead, capping device memory held by queued
     # batches. 1 restores the reference's per-step sync (train.py:300-305).
     sync_every: int = 8
+    # Mid-epoch progress print period in steps (reference train.py:320
+    # prints the running loss every --log_freq iters). Printing happens at
+    # window-drain time, so the effective period is rounded up to the next
+    # multiple of ``sync_every`` — per-step fetching would defeat the
+    # windowed transfer above. 0 disables (epoch summary only).
+    log_every_steps: int = 0
 
     def __post_init__(self):
         # GT targets must be centered on the SAME joint as the model's
@@ -329,6 +335,7 @@ class Trainer:
             pending = []  # device-side (total, finite) pairs awaiting one fetch
             data_win, win_n = 0.0, 0
             nan_streak = 0
+            last_log = 0
             t_end = t_win = time.perf_counter()
 
             def _drain():
@@ -379,6 +386,13 @@ class Trainer:
                 n += 1
                 if len(pending) >= sync:
                     _drain()
+                    if (self.log_every_steps
+                            and n - last_log >= self.log_every_steps):
+                        last_log = n
+                        self.log_fn(
+                            f"epoch {epoch} [{n}]: "
+                            f"loss {running / n:.4f}"
+                        )
                 t_end = time.perf_counter()
             _drain()
             self.log_fn(

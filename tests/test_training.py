@@ -272,6 +272,9 @@ def test_trainer_fit_with_checkpointing(tmp_path, rng):
     trainer = Trainer(
         model, optax.adam(1e-4), checkpoint_dir=str(tmp_path / "ck"), nb_max_ckpt=2,
         log_fn=lines.append, metrics_logger=logger,
+        # mid-epoch progress prints (reference train.py:320 --log_freq);
+        # sync_every=1 so every step drains and can log
+        log_every_steps=1, sync_every=1,
     )
     trainer.fit(
         params, data_iter, epochs=3,
@@ -283,8 +286,10 @@ def test_trainer_fit_with_checkpointing(tmp_path, rng):
     ckpts = sorted(f for f in os.listdir(tmp_path / "ck") if f.endswith(".msgpack"))
     assert ckpts == ["ckpt_000001.msgpack", "ckpt_000002.msgpack"]  # pruned to 2
     assert evals == [0, 1, 2]
+    # mid-epoch running-loss prints, one per step at log_every_steps=1
+    assert sum("epoch 0 [" in ln for ln in lines) == 2
     # workload meters (reference train.py:232-234) flushed per epoch
-    assert all("ratio_data" in ln for ln in lines)
+    assert all("ratio_data" in ln for ln in lines if "[" not in ln)
     import json as _json
 
     with open(tmp_path / "logs" / "t" / "metrics.jsonl") as f:
