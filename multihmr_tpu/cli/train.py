@@ -71,6 +71,12 @@ def build_argparser():
         help="train-set subsampling stride (reference train.py:562)",
     )
     p.add_argument(
+        "--num_workers", "-j", type=int, default=0,
+        help="host data-loading worker threads (bounded ordered map over "
+        "batch builders — the torch DataLoader-workers analogue, reference "
+        "train.py:563); 0 = load in-process",
+    )
+    p.add_argument(
         "--extension", type=str, default="png", choices=("png", "jpg"),
         help="train-image extension; 'jpg' reads the create_jpeg siblings "
         "(reference train.py:576, datasets/bedlam.py:62-78)",
@@ -370,31 +376,42 @@ def main():
         extension=args.extension, res=args.res,
     )
 
+    def make_batch(start):
+        samples = []
+        for i in range(start, min(start + args.batch_size, len(trainset))):
+            x, annot = trainset[i]
+            humans = annot["humans"]
+            samples.append(
+                {
+                    "image": x,
+                    "K": annot["K"],
+                    "humans": [
+                        {
+                            "pose": np.concatenate(
+                                [h["smplx_root_pose"], h["smplx_body_pose"],
+                                 h["smplx_left_hand_pose"], h["smplx_right_hand_pose"],
+                                 h["smplx_jaw_pose"]], 0),
+                            "shape": h["smplx_shape"][:11],
+                            "transl": h["smplx_transl"],
+                        }
+                        for h in humans
+                    ],
+                }
+            )
+        batch = collate_padded(samples, cfg.max_people)
+        return {k: jnp.asarray(v) for k, v in batch.items()}
+
     def data_iter():
-        for start in range(0, len(trainset), args.batch_size):
-            samples = []
-            for i in range(start, min(start + args.batch_size, len(trainset))):
-                x, annot = trainset[i]
-                humans = annot["humans"]
-                samples.append(
-                    {
-                        "image": x,
-                        "K": annot["K"],
-                        "humans": [
-                            {
-                                "pose": np.concatenate(
-                                    [h["smplx_root_pose"], h["smplx_body_pose"],
-                                     h["smplx_left_hand_pose"], h["smplx_right_hand_pose"],
-                                     h["smplx_jaw_pose"]], 0),
-                                "shape": h["smplx_shape"][:11],
-                                "transl": h["smplx_transl"],
-                            }
-                            for h in humans
-                        ],
-                    }
-                )
-            batch = collate_padded(samples, cfg.max_people)
-            yield {k: jnp.asarray(v) for k, v in batch.items()}
+        # --num_workers > 0: decode/resize/collate in a bounded ordered
+        # thread map (the torch-DataLoader-workers analogue; reference
+        # train.py:538-546). 0 = in-process, reference parity.
+        from multihmr_tpu.data.prefetch import bounded_parallel_map
+
+        yield from bounded_parallel_map(
+            make_batch,
+            range(0, len(trainset), args.batch_size),
+            num_workers=args.num_workers,
+        )
 
     optimizer = optax.adam(args.lr)
     if args.clip_grad > 0:
