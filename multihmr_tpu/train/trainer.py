@@ -325,6 +325,7 @@ class Trainer:
             mesh_ctx = contextlib.nullcontext
         sync = max(int(self.sync_every), 1)
         for epoch in range(start_epoch, epochs):
+            t_epoch = time.perf_counter()
             n, running = 0, 0.0
             # workload meters (reference train.py:232-234, 310-328): time in
             # the data iterator vs whole-step time, and their ratio —
@@ -417,6 +418,21 @@ class Trainer:
                     self._state_checkpointer().save(
                         epoch, jax.device_get(params), jax.device_get(opt_state)
                     )
+            train_time = time.perf_counter() - t_epoch
             if eval_fn is not None:
+                t_eval = time.perf_counter()
                 eval_fn(params, epoch)
+                eval_time = time.perf_counter() - t_eval
+                if self.metrics_logger is not None:
+                    # epoch-level train/eval wall split, reference tags
+                    # (train.py:232-234)
+                    self.metrics_logger.scalars(
+                        {
+                            "train_n_iters": train_time,
+                            "evaluate": eval_time,
+                            "ratio_trainVal": eval_time
+                            / max(train_time + eval_time, 1e-9),
+                        },
+                        epoch, prefix="workload/",
+                    )
         return params, opt_state

@@ -295,7 +295,8 @@ def test_trainer_fit_with_checkpointing(tmp_path, rng):
     with open(tmp_path / "logs" / "t" / "metrics.jsonl") as f:
         tags = {_json.loads(ln)["tag"] for ln in f}
     assert {"workload/data", "workload/batch", "workload/ratio_data",
-            "loss/total"} <= tags
+            "workload/train_n_iters", "workload/evaluate",
+            "workload/ratio_trainVal", "loss/total"} <= tags
 
 
 def test_trainer_aborts_on_sustained_nan(rng):
