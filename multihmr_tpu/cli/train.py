@@ -309,24 +309,42 @@ def main():
             elif vname == "3dpw":
                 from multihmr_tpu.data.threedpw import THREEDPW
                 from multihmr_tpu.bodymodel.assets import (
-                    load_smplx2smpl, load_j_regressor_h36m)
+                    load_smpl_pkl, load_smplx2smpl, load_j_regressor_h36m,
+                    synthetic_body_model)
+                from multihmr_tpu.train.evaluate import make_smpl_gt_forward
                 from multihmr_tpu.factory import SMPLX_DIR
 
+                # 3DPW GT is gendered-SMPL params (6890-vert topology) —
+                # PVE against SMPL-X predictions is undefined without the
+                # smplx2smpl regressor (reference train.py:383-384)
+                s2s = os.path.join(SMPLX_DIR, "smplx2smpl.pkl")
+                if not os.path.isfile(s2s):
+                    print(f"3dpw eval SKIPPED: {s2s} not found (needed to "
+                          "map SMPL-X predictions onto the SMPL-topology "
+                          "GT, reference train.py:44-45,383-384)")
+                    continue
+                eval_kw = {"smplx2smpl": load_smplx2smpl(s2s)}
+                jr = os.path.join(SMPLX_DIR, "J_regressor_h36m.npy")
+                if os.path.isfile(jr):  # MPJPE tier (reference :397-429)
+                    eval_kw["J_regressor_h36m"] = load_j_regressor_h36m(jr)
                 split = val_split[vi] or "test"
                 ds = THREEDPW(img_size=cfg.img_size, split=split,
-                              n=val_n[vi], subsample=val_sub[vi])
-                # SMPL-topology PVE + H36M MPJPE when the assets exist
-                # (reference train.py:44-45,383-429)
-                s2s = os.path.join(SMPLX_DIR, "smplx2smpl.pkl")
-                jr = os.path.join(SMPLX_DIR, "J_regressor_h36m.npy")
-                if os.path.isfile(s2s) and os.path.isfile(jr):
-                    eval_kw = {
-                        "smplx2smpl": load_smplx2smpl(s2s),
-                        "J_regressor_h36m": load_j_regressor_h36m(jr),
-                    }
-                else:
-                    print(f"3dpw eval: {s2s} / {jr} not found — "
-                          "reporting SMPL-X-topology PVE, no MPJPE")
+                              n=val_n[vi], subsample=val_sub[vi],
+                              smpl_dir=SMPLX_DIR)
+                layers = {}
+                for g, fn in (("male", "SMPL_MALE.pkl"),
+                              ("female", "SMPL_FEMALE.pkl")):
+                    path = os.path.join(SMPLX_DIR, "smpl", fn)
+                    if os.path.isfile(path):
+                        layers[g] = load_smpl_pkl(path)
+                    else:  # keep the pipeline runnable without licensed pkls
+                        print(f"WARNING: {path} not found — synthetic "
+                              f"{g} SMPL for 3dpw GT")
+                        layers[g] = synthetic_body_model(
+                            num_vertices=6890, num_joints=24,
+                            num_extra=0, num_lmk=0)
+                gt_fwd = make_smpl_gt_forward(
+                    layers, capacity=cfg.max_people)
             elif vname == "bedlam":
                 from multihmr_tpu.data.bedlam import BEDLAM
                 from multihmr_tpu.train.evaluate import make_smplx_gt_forward
@@ -361,7 +379,8 @@ def main():
                 epoch, prefix=f"{vname}-{split}-{val_sub[vi]}/")
             print(f"eval[{vname}-{split}] epoch {epoch}: {res}")
             all_res[vname] = res
-        return all_res if len(valsets) > 1 else all_res[valsets[0]]
+        # .get: a valset can be skipped (3dpw without smplx2smpl)
+        return all_res if len(valsets) > 1 else all_res.get(valsets[0])
 
     if args.eval_only:
         run_eval(params, 0)

@@ -7,7 +7,7 @@ accumulate PVE / PA-PVE (and MPJPE / PA-MPJPE via the H36M regressor for
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional
+from typing import Any, Callable, Dict, Optional
 
 import numpy as np
 
@@ -87,6 +87,77 @@ def make_smplx_gt_forward(body_model, num_betas: int = 11, capacity: int = 16):
         return {"v3d": v3d, "j3d": j3d, "j2d": j2d}
 
     gt_forward.trace_counter = trace_counter
+    return gt_forward
+
+
+def make_smpl_gt_forward(body_models: Dict[str, Any], capacity: int = 16):
+    """GT forward for datasets that store GENDERED SMPL parameters (3DPW):
+    annot['humans'] entries with smpl_* keys + smpl_gender → v3d [P,6890,3] /
+    j3d [P,24,3] / j2d. The reference keeps one smpl layer per gender and
+    dispatches per person (train.py:58-96, 351-357); here each gender gets
+    ONE fixed-[capacity] jit program (static shapes — same idiom as
+    ``make_smplx_gt_forward``) and persons are regrouped by gender, then
+    scattered back to their original order.
+
+    Note for consumers: GT vertices are SMPL topology (6890) — comparing
+    against SMPL-X predictions requires the ``smplx2smpl`` regressor
+    (reference train.py:383-384); without it 3DPW PVE is undefined.
+    """
+    from multihmr_tpu.bodymodel.core import lbs_forward
+    from multihmr_tpu.ops.rotations import rotvec_to_rotmat
+
+    def _make(bm):
+        @jax.jit
+        def _fwd(pose, shape, transl, K):  # [capacity, 24, 3], [capacity, B]
+            rots = rotvec_to_rotmat(pose)
+            out = lbs_forward(bm, rots, shape)
+            v3d = out["vertices"] + transl[:, None]
+            j3d = out["joints"] + transl[:, None]
+            j2d = perspective_projection(j3d, K[None])
+            return v3d, j3d, j2d
+
+        return _fwd
+
+    fwds = {g: _make(bm) for g, bm in body_models.items()}
+
+    def gt_forward(annot):
+        humans = annot["humans"]
+        K = jnp.asarray(annot["K"])
+        outs = [None] * len(humans)
+        for g, fwd in fwds.items():
+            idxs = [i for i, h in enumerate(humans) if h["smpl_gender"] == g]
+            if not idxs:
+                continue
+            pose = np.stack(
+                [
+                    np.concatenate(
+                        [humans[i]["smpl_root_pose"],
+                         humans[i]["smpl_body_pose"]], 0)
+                    for i in idxs
+                ]
+            ).astype(np.float32)
+            shape = np.stack(
+                [humans[i]["smpl_shape"] for i in idxs]
+            ).astype(np.float32)
+            transl = np.stack(
+                [humans[i]["smpl_transl"] for i in idxs]
+            ).astype(np.float32)
+            for s in range(0, len(idxs), capacity):
+                m = min(capacity, len(idxs) - s)
+                pad3 = ((0, capacity - m), (0, 0), (0, 0))
+                pad2 = ((0, capacity - m), (0, 0))
+                v3d, j3d, j2d = fwd(
+                    jnp.asarray(np.pad(pose[s : s + m], pad3)),
+                    jnp.asarray(np.pad(shape[s : s + m], pad2)),
+                    jnp.asarray(np.pad(transl[s : s + m], pad2)),
+                    K,
+                )
+                v3d, j3d, j2d = (np.asarray(a)[:m] for a in (v3d, j3d, j2d))
+                for k, i in enumerate(idxs[s : s + m]):
+                    outs[i] = (v3d[k], j3d[k], j2d[k])
+        v3d, j3d, j2d = (np.stack(parts) for parts in zip(*outs))
+        return {"v3d": v3d, "j3d": j3d, "j2d": j2d}
+
     return gt_forward
 
 

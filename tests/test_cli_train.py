@@ -130,3 +130,83 @@ def test_train_cli_eval_only(tmp_path, monkeypatch, capsys):
     assert "eval[ehf-test] epoch 0" in out
     # PVE metrics present in the eval dict repr
     assert "pve" in out
+
+
+def _write_threedpw(tmp_path, rng):
+    """3DPW fixture tree + prebuilt annot pickle (synthetic SMPL for the
+    build; the annot file is what the CLI's THREEDPW then loads)."""
+    import pickle
+
+    from PIL import Image
+
+    from multihmr_tpu.bodymodel.assets import synthetic_body_model
+    import multihmr_tpu.bodymodel.assets as assets
+
+    root = tmp_path / "data" / "3DPW"
+    (root / "sequenceFiles" / "test").mkdir(parents=True)
+    (root / "imageFiles" / "seq0").mkdir(parents=True)
+    T = 2
+    meta = {
+        "poses": [rng.normal(scale=0.2, size=(T, 72)).astype(np.float32)],
+        "trans": [rng.normal(size=(T, 3)).astype(np.float32)],
+        "betas": [rng.normal(size=10).astype(np.float32)],
+        "genders": ["f"],
+        "campose_valid": [np.ones(T)],
+        "cam_poses": np.tile(np.eye(4), (T, 1, 1)),
+        "cam_intrinsics": np.array([[500.0, 0, 80], [0, 500, 60], [0, 0, 1]]),
+        "poses2d": [rng.normal(size=(T, 3, 18)).astype(np.float32)],
+    }
+    with open(root / "sequenceFiles" / "test" / "seq0.pkl", "wb") as f:
+        pickle.dump(meta, f)
+    for k in range(T):
+        Image.fromarray(
+            rng.integers(0, 255, size=(120, 160, 3), dtype=np.uint8)
+        ).save(root / "imageFiles" / "seq0" / f"image_{k:05d}.jpg")
+    orig = assets.load_smpl_pkl
+    assets.load_smpl_pkl = lambda path, num_betas=10: synthetic_body_model(
+        num_vertices=6890, num_joints=24, num_extra=0, num_lmk=0
+    )
+    try:
+        from multihmr_tpu.data.threedpw import THREEDPW
+
+        THREEDPW(img_size=56, root_dir=str(root),
+                 annotations_dir=str(tmp_path / "data"),
+                 force_build_dataset=True)
+    finally:
+        assets.load_smpl_pkl = orig
+
+
+def test_train_cli_eval_only_3dpw(tmp_path, monkeypatch, capsys):
+    """3dpw valset end-to-end through the CLI: gendered-SMPL GT forward,
+    smplx2smpl-mapped PVE, H36M MPJPE tier (reference train.py:383-429) —
+    plus the clean skip when smplx2smpl.pkl is absent (without it, SMPL-X
+    preds vs SMPL-topology GT have no common vertex space)."""
+    import pickle
+
+    rng = np.random.default_rng(2)
+    _write_threedpw(tmp_path, rng)
+    monkeypatch.chdir(tmp_path)
+    argv = ["train",
+            "--backbone", "dinov2_vits14", "--img_size", "56",
+            "--xat_depth", "1", "--max_people", "4", "--n_devices", "1",
+            "--valset", "3dpw", "--eval_only", "1", "--name", "itest-3dpw"]
+    monkeypatch.setattr(sys, "argv", argv)
+    from multihmr_tpu.cli.train import main
+
+    # no smplx2smpl.pkl → the valset is skipped with a reasoned message
+    main()
+    out = capsys.readouterr().out
+    assert "3dpw eval SKIPPED" in out and "eval[3dpw" not in out
+
+    # with the (synthetic) regressor assets the full metric tier runs
+    os.makedirs("models", exist_ok=True)
+    with open(os.path.join("models", "smplx2smpl.pkl"), "wb") as f:
+        pickle.dump({"matrix": rng.random((6890, 10475)).astype(np.float32) / 10475},
+                    f)
+    np.save(os.path.join("models", "J_regressor_h36m.npy"),
+            rng.random((17, 6890)).astype(np.float32) / 6890)
+    main()
+    out = capsys.readouterr().out
+    assert "eval[3dpw-test] epoch 0" in out
+    assert "'n_images': 2" in out.split("eval[3dpw-test]")[1][:400]
+    assert "mpjpe" in out.split("eval[3dpw-test]")[1]

@@ -134,6 +134,52 @@ def test_smplx_gt_forward_single_trace():
     assert np.all(np.isfinite(outs[7]["v3d"]))
 
 
+def test_smpl_gt_forward_gendered_order_and_chunking():
+    """3DPW-style gendered GT forward (reference keeps one smpl layer per
+    gender, train.py:58-96): persons are regrouped by gender for the
+    fixed-capacity jit programs, and the outputs must land back in the
+    ORIGINAL person order; mixed genders, counts beyond capacity, and
+    single-gender images all go through the same two compiled programs."""
+    from multihmr_tpu.train.evaluate import make_smpl_gt_forward
+
+    bms = {
+        "male": synthetic_body_model(
+            num_vertices=48, num_joints=24, num_extra=0, num_lmk=0),
+        "female": synthetic_body_model(
+            num_vertices=48, num_joints=24, num_extra=0, num_lmk=0),
+    }
+    gt_fwd = make_smpl_gt_forward(bms, capacity=2)
+    rng = np.random.default_rng(1)
+    K = np.array([[100.0, 0, 28], [0, 100.0, 28], [0, 0, 1]], np.float32)
+
+    def human(g):
+        return {
+            "smpl_root_pose": rng.normal(scale=0.1, size=(1, 3)).astype(np.float32),
+            "smpl_body_pose": rng.normal(scale=0.1, size=(23, 3)).astype(np.float32),
+            "smpl_shape": rng.normal(size=(10,)).astype(np.float32),
+            "smpl_transl": np.array([0, 0, 3.0], np.float32),
+            "smpl_gender": g,
+        }
+
+    # mixed genders, 5 persons > capacity=2 → chunking inside each gender
+    genders = ["male", "female", "male", "male", "female"]
+    humans = [human(g) for g in genders]
+    out = gt_fwd({"humans": humans, "K": K})
+    assert out["v3d"].shape == (5, 48, 3)
+    assert out["j3d"].shape == (5, 24, 3)
+    assert out["j2d"].shape == (5, 24, 2)
+    assert np.all(np.isfinite(out["v3d"]))
+    # original order preserved: evaluating person i ALONE must reproduce
+    # row i of the grouped result exactly
+    for i in (0, 1, 4):
+        solo = gt_fwd({"humans": [humans[i]], "K": K})
+        np.testing.assert_allclose(solo["v3d"][0], out["v3d"][i], atol=1e-5)
+        np.testing.assert_allclose(solo["j2d"][0], out["j2d"][i], atol=1e-4)
+    # single-gender image works (the other program simply isn't used)
+    fem = gt_fwd({"humans": [human("female")], "K": K})
+    assert fem["v3d"].shape == (1, 48, 3)
+
+
 def test_adaln_and_token_dropout(rng):
     """Reference's norm='ada' and token-dropout options (unused by shipped
     configs, kept for API parity)."""
