@@ -316,16 +316,27 @@ def main():
 
                 # 3DPW GT is gendered-SMPL params (6890-vert topology) —
                 # PVE against SMPL-X predictions is undefined without the
-                # smplx2smpl regressor (reference train.py:383-384)
-                s2s = os.path.join(SMPLX_DIR, "smplx2smpl.pkl")
-                if not os.path.isfile(s2s):
-                    print(f"3dpw eval SKIPPED: {s2s} not found (needed to "
-                          "map SMPL-X predictions onto the SMPL-topology "
-                          "GT, reference train.py:44-45,383-384)")
+                # smplx2smpl regressor (reference train.py:383-384). Both
+                # the reference tree layout (models/smplx/, models/smpl/ —
+                # utils/constants.py:16, train.py:400) and our flat
+                # manifest layout are accepted.
+                def _find(*cands):
+                    return next((p for p in cands if os.path.isfile(p)), None)
+
+                s2s = _find(
+                    os.path.join(SMPLX_DIR, "smplx", "smplx2smpl.pkl"),
+                    os.path.join(SMPLX_DIR, "smplx2smpl.pkl"))
+                if s2s is None:
+                    print(f"3dpw eval SKIPPED: smplx2smpl.pkl not found "
+                          f"under {SMPLX_DIR} (needed to map SMPL-X "
+                          "predictions onto the SMPL-topology GT, "
+                          "reference train.py:44-45,383-384)")
                     continue
                 eval_kw = {"smplx2smpl": load_smplx2smpl(s2s)}
-                jr = os.path.join(SMPLX_DIR, "J_regressor_h36m.npy")
-                if os.path.isfile(jr):  # MPJPE tier (reference :397-429)
+                jr = _find(
+                    os.path.join(SMPLX_DIR, "smpl", "J_regressor_h36m.npy"),
+                    os.path.join(SMPLX_DIR, "J_regressor_h36m.npy"))
+                if jr is not None:  # MPJPE tier (reference :397-429)
                     eval_kw["J_regressor_h36m"] = load_j_regressor_h36m(jr)
                 split = val_split[vi] or "test"
                 ds = THREEDPW(img_size=cfg.img_size, split=split,

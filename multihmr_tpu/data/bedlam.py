@@ -78,6 +78,10 @@ class BEDLAM:
         self.image_dir = os.path.join(root_dir, split)
         self.flip = flip
         self.n_iter = n_iter
+        # Training-mode sampling RNG. Under --num_workers threads the draw
+        # ORDER across workers is nondeterministic (same property as torch
+        # DataLoader workers); the state itself stays consistent under the
+        # GIL. Seeded runs are reproducible only with num_workers=0.
         self._rng = random.Random(seed)
         self.annot_file = os.path.join(annotations_dir, f"{self.name}_{split}.pkl")
         if force_build_dataset or not os.path.isfile(self.annot_file):
